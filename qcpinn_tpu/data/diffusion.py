@@ -1,0 +1,138 @@
+"""Convection-diffusion analytic solutions, forcing, and samplers.
+
+Two exact solutions exist in the reference and both are reproduced here to
+numerical tolerance (BASELINE requirement):
+
+1. Gaussian pulse (data/diffusion_dataset.py:20-38):
+   u = exp(-100((x-0.5)^2 + (y-0.5)^2)) * exp(-t), with closed-form partials
+   and forcing r = u_t + v.grad(u) - D lap(u).
+2. Separable sine (train_hybrid_qpinn.py:116-131):
+   u = sin(pi x) sin(pi y) exp(-2 pi^2 D t), which solves the *pure*
+   diffusion equation u_t = D lap(u) with zero Dirichlet boundaries.
+
+Samplers are pure-functional: uniform draws over a coordinate hyper-rectangle
+keyed by a JAX PRNG key (replacing torch.rand in
+data/diffusion_dataset.py:12-19).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+DEFAULT_D = 0.01
+DEFAULT_V_X = 1.0
+DEFAULT_V_Y = 1.0
+
+
+# -- Gaussian-pulse solution (data/diffusion_dataset.py:20-38) ----------------
+
+def u(txy: Array) -> Array:
+    t = txy[:, 0:1]
+    x = txy[:, 1:2]
+    y = txy[:, 2:3]
+    return jnp.exp(-100.0 * ((x - 0.5) ** 2 + (y - 0.5) ** 2)) * jnp.exp(-t)
+
+
+def u_t(txy: Array) -> Array:
+    return -u(txy)
+
+
+def u_x(txy: Array) -> Array:
+    return -200.0 * (txy[:, 1:2] - 0.5) * u(txy)
+
+
+def u_y(txy: Array) -> Array:
+    return -200.0 * (txy[:, 2:3] - 0.5) * u(txy)
+
+
+def u_xx(txy: Array) -> Array:
+    return (40000.0 * (txy[:, 1:2] - 0.5) ** 2 - 400.0) * u(txy)
+
+
+def u_yy(txy: Array) -> Array:
+    return (40000.0 * (txy[:, 2:3] - 0.5) ** 2 - 400.0) * u(txy)
+
+
+def r(
+    txy: Array,
+    D: float = DEFAULT_D,
+    v_x: float = DEFAULT_V_X,
+    v_y: float = DEFAULT_V_Y,
+) -> Array:
+    """Forcing such that u satisfies u_t + v.grad(u) - D lap(u) = r."""
+    return u_t(txy) + v_x * u_x(txy) + v_y * u_y(txy) - D * (u_xx(txy) + u_yy(txy))
+
+
+# -- Separable sine solution (train_hybrid_qpinn.py:116-131) ------------------
+
+def u_sine(txy: Array, D: float = DEFAULT_D) -> Array:
+    t = txy[:, 0:1]
+    x = txy[:, 1:2]
+    y = txy[:, 2:3]
+    pi = jnp.pi
+    return jnp.sin(pi * x) * jnp.sin(pi * y) * jnp.exp(-2.0 * pi**2 * D * t)
+
+
+def zero_target(txy: Array) -> Array:
+    return jnp.zeros((txy.shape[0], 1), dtype=txy.dtype)
+
+
+# -- Samplers ------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Sampler:
+    """Uniform sampler over a hyper-rectangle with a target function.
+
+    ``coords`` is ``[2, dim]``: row 0 = mins, row 1 = maxs
+    (data/diffusion_dataset.py:5-19)."""
+
+    coords: np.ndarray  # static, [2, dim] float32
+    func: Callable[[Array], Array]
+    name: Optional[str] = None
+
+    @property
+    def dim(self) -> int:
+        return self.coords.shape[1]
+
+    def sample(self, key: jax.Array, n: int) -> tuple[Array, Array]:
+        lo = jnp.asarray(self.coords[0:1, :], dtype=jnp.float32)
+        hi = jnp.asarray(self.coords[1:2, :], dtype=jnp.float32)
+        rand = jax.random.uniform(key, (n, self.dim), dtype=jnp.float32)
+        x = lo + (hi - lo) * rand
+        return x, self.func(x)
+
+
+def _box(rows) -> np.ndarray:
+    return np.asarray(rows, dtype=np.float32)
+
+
+def gaussian_pulse_samplers() -> dict[str, Sampler]:
+    """Canonical IC/BC/domain boxes (data/diffusion_dataset.py:39-57):
+    IC at t=0; Dirichlet boundaries at x=0 and x=1; forcing over the cube."""
+    return {
+        "ics": Sampler(_box([[0, 0, 0], [0, 1, 1]]), u, "Initial Condition"),
+        "bc1": Sampler(_box([[0, 0, 0], [1, 0, 1]]), u, "Dirichlet BC1"),
+        "bc2": Sampler(_box([[0, 1, 0], [1, 1, 1]]), u, "Dirichlet BC2"),
+        "res": Sampler(_box([[0, 0, 0], [1, 1, 1]]), r, "Forcing"),
+    }
+
+
+def sine_samplers(D: float = DEFAULT_D) -> dict[str, Sampler]:
+    """train_hybrid_qpinn.py:159-200: IC from the analytic solution, four
+    zero-Dirichlet boundaries, zero-residual domain sampler."""
+    ic_fn = lambda X: u_sine(X, D)
+    return {
+        "ics": Sampler(_box([[0, 0, 0], [0, 1, 1]]), ic_fn, "Initial Condition"),
+        "bc1": Sampler(_box([[0, 0, 0], [1, 0, 1]]), zero_target, "x=0"),
+        "bc2": Sampler(_box([[0, 1, 0], [1, 1, 1]]), zero_target, "x=1"),
+        "bc3": Sampler(_box([[0, 0, 0], [1, 1, 0]]), zero_target, "y=0"),
+        "bc4": Sampler(_box([[0, 0, 1], [1, 1, 1]]), zero_target, "y=1"),
+        "res": Sampler(_box([[0, 0, 0], [1, 1, 1]]), zero_target, "Residual"),
+    }
