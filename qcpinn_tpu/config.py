@@ -1,0 +1,90 @@
+"""Unified experiment configuration.
+
+Replaces the reference's four coexisting config styles (plain args dict,
+argparse, class-attribute Config, module constants — SURVEY.md §5.6) with one
+dataclass. Field names track the reference args keys
+(trainer/diffusion_hybrid_trainer.py:44-74) so configs translate 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class QCPINNConfig:
+    # problem / model selection
+    problem: str = "diffusion"  # diffusion | wave | klein_gordon | helmholtz | navier_stokes
+    solver: str = "DV"  # DV | CV | Classical
+    classic_network: Tuple[int, int, int] = (3, 50, 1)  # [in, hidden, out]
+
+    # DV quantum block
+    num_qubits: int = 4
+    num_quantum_layers: int = 1
+    q_ansatz: str = "cascade"
+    encoding: str = "angle"  # angle | amplitude
+
+    # CV quantum block
+    cv_class: int = 1  # CVNeuralNetwork variant 1 | 2 | 3
+    cutoff_dim: int = 6
+
+    # training
+    epochs: int = 20000
+    batch_size: int = 64
+    lr: float = 5e-3
+    seed: int = 42
+    print_every: int = 500
+    grad_clip: Optional[float] = None  # default: 0.1 for CV else 1.0
+    loss_weights: Tuple[float, float, float] = (2.0, 4.0, 2.0)  # (res, bc, ic)
+    scheduler: str = "plateau"  # plateau | cosine | none
+    plateau_factor: float = 0.9
+    plateau_patience: int = 1000
+
+    # hardware-fidelity modes (replaces use_ibm_hardware and friends —
+    # no cloud dependency; shots/noise are engine modes)
+    shots: Optional[int] = None
+    noise_depolarizing: float = 0.0
+    noise_readout: float = 0.0
+    gradient_mode: str = "backprop"  # backprop | parameter-shift | spsa
+
+    # bookkeeping
+    run_name: Optional[str] = None
+    output_dir: str = "runs"
+
+    def __post_init__(self):
+        self.classic_network = tuple(self.classic_network)
+        self.loss_weights = tuple(self.loss_weights)
+        if self.solver not in ("DV", "CV", "Classical"):
+            raise ValueError(f"unknown solver {self.solver!r}")
+        if self.encoding not in ("angle", "amplitude"):
+            raise ValueError(f"unknown encoding {self.encoding!r}")
+
+    @property
+    def effective_grad_clip(self) -> float:
+        if self.grad_clip is not None:
+            return self.grad_clip
+        # trainer/diffusion_train.py:82-85: 0.1 for CV, 1.0 otherwise
+        return 0.1 if self.solver == "CV" else 1.0
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QCPINNConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    def masked_dict(self) -> dict:
+        """Config dump with credential-looking keys masked
+        (train_hybrid_qpinn.py:911-917 token masking)."""
+        out = {}
+        for k, v in self.to_dict().items():
+            if isinstance(v, str) and ("token" in k.lower() or "secret" in k.lower()):
+                v = "***masked***"
+            out[k] = v
+        return out

@@ -53,11 +53,26 @@ def u_y(txy: Array) -> Array:
 
 
 def u_xx(txy: Array) -> Array:
+    """NOTE: matches the *reference formula* (data/diffusion_dataset.py:31-32)
+    verbatim for parity. The reference's constant is wrong: the true second
+    partial of exp(-100 (x-1/2)^2) has -200, not -400 — so the reference's
+    forcing ``r`` is NOT the residual of its own analytic solution (its
+    training target is inconsistent by exactly ``+400 D u``, verified by
+    autodiff). Use :func:`u_xx_true` / :func:`r_true` for correct physics."""
     return (40000.0 * (txy[:, 1:2] - 0.5) ** 2 - 400.0) * u(txy)
 
 
 def u_yy(txy: Array) -> Array:
+    """Reference-parity formula; see :func:`u_xx` for the defect note."""
     return (40000.0 * (txy[:, 2:3] - 0.5) ** 2 - 400.0) * u(txy)
+
+
+def u_xx_true(txy: Array) -> Array:
+    return (40000.0 * (txy[:, 1:2] - 0.5) ** 2 - 200.0) * u(txy)
+
+
+def u_yy_true(txy: Array) -> Array:
+    return (40000.0 * (txy[:, 2:3] - 0.5) ** 2 - 200.0) * u(txy)
 
 
 def r(
@@ -66,8 +81,26 @@ def r(
     v_x: float = DEFAULT_V_X,
     v_y: float = DEFAULT_V_Y,
 ) -> Array:
-    """Forcing such that u satisfies u_t + v.grad(u) - D lap(u) = r."""
+    """Reference-parity forcing (data/diffusion_dataset.py:35-38). Because it
+    uses the reference's wrong second partials (see :func:`u_xx`), this
+    exceeds the true residual of the analytic u by ``+400 D u``."""
     return u_t(txy) + v_x * u_x(txy) + v_y * u_y(txy) - D * (u_xx(txy) + u_yy(txy))
+
+
+def r_true(
+    txy: Array,
+    D: float = DEFAULT_D,
+    v_x: float = DEFAULT_V_X,
+    v_y: float = DEFAULT_V_Y,
+) -> Array:
+    """The actual forcing of the analytic solution: the PINN residual of the
+    exact u equals this (verified by autodiff in tests)."""
+    return (
+        u_t(txy)
+        + v_x * u_x(txy)
+        + v_y * u_y(txy)
+        - D * (u_xx_true(txy) + u_yy_true(txy))
+    )
 
 
 # -- Separable sine solution (train_hybrid_qpinn.py:116-131) ------------------

@@ -1,0 +1,71 @@
+"""DV hybrid PDE solver: classical encoder -> quantum circuit -> decoder.
+
+TPU-native equivalent of nn/DVPDESolver.py:28-114 — a pure function of a
+params pytree. Architecture (classic_network = [in, hidden, out]):
+
+  preprocessor:  Linear(in, hidden) -> Tanh -> Linear(hidden, n_qubits)
+  quantum:       DVCircuit (ansatz layers, exact <Z_w> readout)
+  postprocessor: Linear(n_qubits, hidden) -> Tanh -> Linear(hidden, out)
+
+The reference's shape fixups for PennyLane's (n, B)-vs-(B, n) output
+(nn/DVPDESolver.py:98-107) are unnecessary: the engine is natively batched.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import QCPINNConfig
+from ..ops import DVCircuit, NoiseModel
+from . import nn_core as nc
+
+
+class DVSolver:
+    def __init__(self, config: QCPINNConfig):
+        self.config = config
+        self.n = config.num_qubits
+        in_dim, hidden, out_dim = config.classic_network
+        self.dims_pre = (in_dim, hidden, self.n)
+        self.dims_post = (self.n, hidden, out_dim)
+        self.circuit = DVCircuit(
+            num_qubits=self.n,
+            num_quantum_layers=config.num_quantum_layers,
+            q_ansatz=config.q_ansatz,
+            encoding=config.encoding,
+            seed=config.seed,
+        )
+        self.noise = None
+        if config.noise_depolarizing or config.noise_readout:
+            self.noise = NoiseModel(config.noise_depolarizing, config.noise_readout)
+
+    def init(self, key: jax.Array) -> dict:
+        k_pre, k_q, k_post = jax.random.split(key, 3)
+        return {
+            "pre": nc.mlp_init(k_pre, self.dims_pre),
+            "q": self.circuit.init_params(k_q),
+            "post": nc.mlp_init(k_post, self.dims_post),
+        }
+
+    def apply(
+        self,
+        params: dict,
+        x: jnp.ndarray,
+        *,
+        shots: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        detach_quantum: bool = False,
+    ) -> jnp.ndarray:
+        pre = nc.mlp_apply(params["pre"], x)
+        z = self.circuit.apply(
+            params["q"], pre, shots=shots, key=key, noise=self.noise
+        )
+        if detach_quantum:
+            # two-phase head tuning (CG_HQPINN_IBMtest_16qubits.py:131-132)
+            z = jax.lax.stop_gradient(z)
+        return nc.mlp_apply(params["post"], z)
+
+    def __call__(self, params, x, **kw):
+        return self.apply(params, x, **kw)

@@ -1,0 +1,87 @@
+"""Minimal pure-functional NN building blocks (params = pytrees of arrays).
+
+Deliberately not flax/haiku: PDE operators take vjp/jvp through whole models,
+and plain ``init(key) -> params`` / ``apply(params, x)`` pairs keep those
+transforms transparent. Initialization matches the reference:
+``xavier_normal_`` weights + zero bias (nn/DVPDESolver.py:69-76,
+nn/ClassicalSolver.py:51-56).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def linear_init(key: jax.Array, in_dim: int, out_dim: int, bias: bool = True) -> dict:
+    """Xavier-normal weight (std = sqrt(2/(in+out)), torch convention),
+    zero bias."""
+    std = math.sqrt(2.0 / (in_dim + out_dim))
+    params = {"w": std * jax.random.normal(key, (in_dim, out_dim), dtype=jnp.float32)}
+    if bias:
+        params["b"] = jnp.zeros((out_dim,), dtype=jnp.float32)
+    return params
+
+
+def linear_apply(params: dict, x: Array) -> Array:
+    # HIGHEST precision: second-order PDE residuals amplify bf16 rounding.
+    y = jnp.dot(
+        x,
+        params["w"],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def mlp_init(key: jax.Array, dims: Sequence[int]) -> list:
+    keys = jax.random.split(key, len(dims) - 1)
+    return [linear_init(k, dims[i], dims[i + 1]) for i, k in enumerate(keys)]
+
+
+def mlp_apply(params: list, x: Array, final_activation: bool = False) -> Array:
+    """Linear -> Tanh -> ... -> Linear (tanh between layers, like the
+    reference's Sequential(Linear, Tanh, Linear) stacks)."""
+    n = len(params)
+    for i, layer in enumerate(params):
+        x = linear_apply(layer, x)
+        if i < n - 1 or final_activation:
+            x = jnp.tanh(x)
+    return x
+
+
+def layernorm_init(dim: int) -> dict:
+    return {
+        "gamma": jnp.ones((dim,), dtype=jnp.float32),
+        "beta": jnp.zeros((dim,), dtype=jnp.float32),
+    }
+
+
+def layernorm_apply(params: dict, x: Array, eps: float = 1e-5) -> Array:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return params["gamma"] * (x - mean) * jax.lax.rsqrt(var + eps) + params["beta"]
+
+
+def fourier_features_init(
+    key: jax.Array, in_dim: int, mapping_size: int, scale: float
+) -> dict:
+    """Random Fourier feature matrix B ~ N(0,1)*scale — a fixed (non-trained)
+    buffer, as in CG_HQPINN_IBMtest_16qubits.py:52-59."""
+    return {"B": scale * jax.random.normal(key, (in_dim, mapping_size), dtype=jnp.float32)}
+
+
+def fourier_features_apply(params: dict, x: Array) -> Array:
+    proj = 2.0 * jnp.pi * jnp.dot(x, jax.lax.stop_gradient(params["B"]))
+    return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

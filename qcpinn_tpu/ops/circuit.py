@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import ansatz as ansatz_lib
-from . import gates, measure
+from . import diag_fusion, gates, measure
 from . import program as prog
 from . import statevector as sv
 
@@ -46,15 +46,23 @@ class DVCircuit:
         encoding: str = "angle",
         seed: Optional[int] = None,
         use_scan: Optional[bool] = None,
+        fuse: bool = True,
     ):
         self.n = num_qubits
         self.layers = num_quantum_layers
         self.ansatz = q_ansatz
         self.encoding = encoding
         self.seed = seed
-        self.program = ansatz_lib.build(q_ansatz, num_qubits)
-        self.params_per_layer = prog.num_params(self.program)
+        self.program_raw = ansatz_lib.build(q_ansatz, num_qubits)
+        self.params_per_layer = prog.num_params(self.program_raw)
         assert self.params_per_layer == ansatz_lib.PARAM_COUNTS[q_ansatz](num_qubits)
+        # Diagonal fusion collapses commuting RZ/PS/CZ/CRZ runs into single
+        # phase ops (cross_mesh: 240 CRZ -> 1 op at 16 qubits).
+        self.program = (
+            diag_fusion.fuse_diagonals(self.program_raw, num_qubits)
+            if fuse
+            else self.program_raw
+        )
 
         epilogue = []
         if num_qubits >= 4 and seed is not None:
@@ -135,6 +143,6 @@ class DVCircuit:
         dim = 1 << self.n
         total = np.eye(dim, dtype=np.complex128)
         for layer in range(self.layers):
-            total = prog.dense_unitary(self.n, self.program, params[layer]) @ total
+            total = prog.dense_unitary(self.n, self.program_raw, params[layer]) @ total
         total = prog.dense_unitary(self.n, self.epilogue, np.zeros(0)) @ total
         return total

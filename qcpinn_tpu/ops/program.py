@@ -82,6 +82,9 @@ def apply_program(
     """
     batched_params = params.ndim == 2
     for op in program:
+        if not isinstance(op, Op):  # fused DiagRun (see diag_fusion.py)
+            state = op.apply(state, params)
+            continue
         k = op.kind
         if k in PARAM_1Q:
             theta = params[..., op.pidx[0]]

@@ -86,10 +86,11 @@ def apply_2q(
     d_m = 1 << (w2 - w1 - 1)
     d_c = 1 << (n - 1 - w2)
     s = state.reshape(b, d_a, 2, d_m, 2, d_c)
+    hi = jax.lax.Precision.HIGHEST  # TPU default rounds f32 to bf16
     if batched:
-        out = jnp.einsum("bklij,baicjd->bakcld", u4, s)
+        out = jnp.einsum("bklij,baicjd->bakcld", u4, s, precision=hi)
     else:
-        out = jnp.einsum("klij,baicjd->bakcld", u4, s)
+        out = jnp.einsum("klij,baicjd->bakcld", u4, s, precision=hi)
     return out.reshape(b, 1 << n)
 
 
@@ -102,10 +103,19 @@ def _z_sign_matrix(n: int) -> np.ndarray:
 
 
 def z_expvals(state: jnp.ndarray, n: int) -> jnp.ndarray:
-    """``<Z_w>`` for every wire: ``[B, n]`` float32 (single MXU matmul)."""
+    """``<Z_w>`` for every wire: ``[B, n]`` float32 (single MXU matmul).
+
+    Precision HIGHEST: TPU's default matmul precision rounds f32 inputs to
+    bf16, which costs ~1e-3 on expectations — too coarse for PDE residuals.
+    """
     probs = jnp.real(state * jnp.conj(state)).astype(RDTYPE)
     sign = jnp.asarray(_z_sign_matrix(n))
-    return jnp.dot(probs, sign, preferred_element_type=RDTYPE)
+    return jnp.dot(
+        probs,
+        sign,
+        preferred_element_type=RDTYPE,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def bit_probabilities(state: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -1,0 +1,11 @@
+from . import losses, optim
+from .loop import TermSpec, diffusion_terms, make_train_step, train
+
+__all__ = [
+    "losses",
+    "optim",
+    "TermSpec",
+    "diffusion_terms",
+    "make_train_step",
+    "train",
+]

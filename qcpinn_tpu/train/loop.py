@@ -1,0 +1,208 @@
+"""Jit-compiled physics-informed training.
+
+The reference's Python epoch loop (trainer/diffusion_train.py:52-90) becomes:
+
+- one fused train step (sample -> forward -> PDE residual -> weighted loss ->
+  grad -> clip -> Adam -> plateau-scheduler), compiled once;
+- ``lax.scan`` over `print_every` steps per dispatch, so the host touches the
+  device only at logging boundaries;
+- on a device mesh, the collocation batch is sharded over the 'data' axis
+  with sharding constraints — gradients are reduced by XLA collectives (the
+  psum lives inside the compiled graph).
+
+Samplers draw on-device from a threaded PRNG key (one key per step, folded
+from the epoch index) — bitwise reproducible regardless of batch sharding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import QCPINNConfig
+from ..data.diffusion import Sampler
+from . import losses as L
+from . import optim
+
+
+@dataclasses.dataclass(frozen=True)
+class TermSpec:
+    """One loss term: where its points come from, how many, its weight, and
+    whether the model output ('value') or the PDE residual ('residual') is
+    matched to the sampler's target."""
+
+    sampler: Sampler
+    weight: float
+    batch: int
+    kind: str = "value"  # value | residual
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    opt_state: optax.OptState
+    sched: optim.PlateauState
+    step: int = 0
+
+
+def diffusion_terms(
+    samplers: Dict[str, Sampler],
+    batch_size: int,
+    weights: Tuple[float, float, float] = (2.0, 4.0, 2.0),
+) -> Dict[str, TermSpec]:
+    """The canonical diffusion loss (trainer/diffusion_train.py:30-47):
+    residual over the full batch, IC and BC1 at batch/3 each, weights
+    (w_res, w_bc, w_ic). The reference samples only bcs_sampler[0]; callers
+    wanting all four walls pass extra terms."""
+    w_r, w_bc, w_ic = weights
+    third = max(batch_size // 3, 1)
+    return {
+        "res": TermSpec(samplers["res"], w_r, batch_size, "residual"),
+        "bc": TermSpec(samplers["bc1"], w_bc, third, "value"),
+        "ic": TermSpec(samplers["ics"], w_ic, third, "value"),
+    }
+
+
+def make_train_step(
+    model_apply: Callable,
+    operator: Callable,
+    terms: Dict[str, TermSpec],
+    optimizer: optax.GradientTransformation,
+    config: QCPINNConfig,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+):
+    """Build (init_state, step_fn, scan_fn).
+
+    ``model_apply(params, X) -> [B, out]``; ``operator(apply, X) ->
+    (u, residual)`` with ``apply`` already bound to params.
+    """
+    names = tuple(terms.keys())
+    use_plateau = config.scheduler == "plateau"
+
+    def constrain(x):
+        if mesh is not None:
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(data_axis))
+            )
+        return x
+
+    def loss_fn(params, batches):
+        per_term = {}
+        for name in names:
+            X, y = batches[name]
+            if terms[name].kind == "residual":
+                apply = lambda Xp: model_apply(params, Xp)
+                _, pred = operator(apply, X)
+            else:
+                pred = model_apply(params, X)
+            per_term[name] = L.mse(pred, y)
+        total = sum(terms[n].weight * per_term[n] for n in names)
+        return total, per_term
+
+    def step_fn(state_tuple, key):
+        params, opt_state, sched = state_tuple
+        keys = jax.random.split(key, len(names))
+        batches = {}
+        for name, k in zip(names, keys):
+            X, y = terms[name].sampler.sample(k, terms[name].batch)
+            batches[name] = (constrain(X), constrain(y))
+
+        (loss, per_term), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batches
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        if use_plateau:
+            updates = optim.scale_updates(updates, sched.scale)
+        params = optax.apply_updates(params, updates)
+        if use_plateau:
+            sched = optim.plateau_update(
+                sched,
+                loss,
+                factor=config.plateau_factor,
+                patience=config.plateau_patience,
+            )
+        metrics = dict(per_term)
+        metrics["loss"] = loss
+        metrics["lr_scale"] = sched.scale
+        return (params, opt_state, sched), metrics
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def scan_steps(params, opt_state, sched, base_key, start_step, n_steps):
+        """Run n_steps (static) fused steps; returns final state + the metric
+        trace [n_steps]."""
+        step_ids = start_step + jnp.arange(n_steps)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(step_ids)
+        (params, opt_state, sched), trace = jax.lax.scan(
+            step_fn, (params, opt_state, sched), keys
+        )
+        return params, opt_state, sched, trace
+
+    return step_fn, scan_steps
+
+
+def train(
+    model,
+    config: QCPINNConfig,
+    terms: Dict[str, TermSpec],
+    operator: Callable,
+    logger=None,
+    mesh: Optional[Mesh] = None,
+    checkpoint_fn: Optional[Callable] = None,
+) -> Tuple[dict, list]:
+    """Full training driver. Returns (params, loss_history)."""
+    key = jax.random.PRNGKey(config.seed)
+    k_init, k_train = jax.random.split(key)
+    params = model.init(k_init)
+
+    optimizer = optim.make_optimizer(
+        config.lr,
+        grad_clip=config.effective_grad_clip,
+        schedule=config.scheduler,
+        epochs=config.epochs,
+    )
+    opt_state = optimizer.init(params)
+    sched = optim.plateau_init()
+
+    _, scan_steps = make_train_step(
+        model.apply, operator, terms, optimizer, config, mesh=mesh
+    )
+
+    def log(msg):
+        if logger is not None:
+            logger.print(msg)
+
+    loss_history = []
+    chunk = max(1, min(config.print_every, config.epochs))
+    done = 0
+    t0 = time.time()
+    n_chunks = (config.epochs + chunk - 1) // chunk
+    for _ in range(n_chunks):
+        n = min(chunk, config.epochs - done)
+        params, opt_state, sched, trace = scan_steps(
+            params, opt_state, sched, k_train, done, n
+        )
+        done += n
+        trace = jax.device_get(trace)
+        loss_history.extend([float(v) for v in trace["loss"]])
+        elapsed = time.time() - t0
+        eta = elapsed / done * (config.epochs - done)
+        term_str = " | ".join(
+            f"{name}: {float(trace[name][-1]):.2e}"
+            for name in terms
+        )
+        log(
+            f"Epoch: {done}/{config.epochs} | Loss: {loss_history[-1]:.2e} | "
+            f"{term_str} | lr_scale: {float(trace['lr_scale'][-1]):.2e} | "
+            f"Total: {elapsed:.1f}s | ETA: {eta:.1f}s"
+        )
+        if checkpoint_fn is not None:
+            checkpoint_fn(params, opt_state, done, loss_history)
+    return params, loss_history

@@ -1,0 +1,131 @@
+"""End-to-end: DV and Classical solvers train on convection-diffusion and the
+loss drops (the '-simple-1min' smoke role, trainer/diffusion_hybrid_trainer-
+simple-1min.py), plus model wiring checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qcpinn_tpu.config import QCPINNConfig
+from qcpinn_tpu.data import gaussian_pulse_samplers
+from qcpinn_tpu.models import ClassicalSolver, DVSolver
+from qcpinn_tpu.models.nn_core import count_params
+from qcpinn_tpu.physics import diffusion_operator
+from qcpinn_tpu.train import diffusion_terms, train
+from qcpinn_tpu.train.losses import relative_l2
+
+
+def test_dv_solver_shapes_and_grads():
+    cfg = QCPINNConfig(num_qubits=3, classic_network=(3, 10, 1), q_ansatz="cascade")
+    model = DVSolver(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.ones((7, 3))
+    out = model.apply(params, x)
+    assert out.shape == (7, 1)
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # quantum param grads are nonzero (the circuit is actually in the graph)
+    assert float(jnp.max(jnp.abs(g["q"]))) > 0
+
+
+def test_dv_solver_detach_quantum():
+    cfg = QCPINNConfig(num_qubits=3, classic_network=(3, 10, 1))
+    model = DVSolver(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.ones((4, 3))
+    g = jax.grad(
+        lambda p: jnp.sum(model.apply(p, x, detach_quantum=True) ** 2)
+    )(params)
+    assert float(jnp.max(jnp.abs(g["q"]))) == 0.0
+    assert float(jnp.max(jnp.abs(g["pre"][0]["w"]))) == 0.0
+    assert float(jnp.max(jnp.abs(g["post"][0]["w"]))) > 0.0
+
+
+def test_classical_solver_batch_coupling():
+    cfg = QCPINNConfig(solver="Classical", classic_network=(3, 16, 1))
+    model = ClassicalSolver(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 3))
+    out = model.apply(params, x)
+    assert out.shape == (6, 1)
+    # Hopfield layer self-associates over the batch: changing one row must
+    # perturb other rows' outputs.
+    x2 = x.at[0, 0].add(1.0)
+    out2 = model.apply(params, x2)
+    assert float(jnp.max(jnp.abs(out2[1:] - out[1:]))) > 1e-7
+
+
+def _run_short_training(model, cfg):
+    samplers = gaussian_pulse_samplers()
+    terms = diffusion_terms(samplers, cfg.batch_size, cfg.loss_weights)
+    params, history = train(model, cfg, terms, diffusion_operator)
+    return params, history
+
+
+def test_dv_training_loss_decreases():
+    cfg = QCPINNConfig(
+        num_qubits=2,
+        classic_network=(3, 10, 1),
+        q_ansatz="cascade",
+        epochs=60,
+        batch_size=16,
+        lr=5e-3,
+        print_every=30,
+        seed=0,
+    )
+    model = DVSolver(cfg)
+    params, history = _run_short_training(model, cfg)
+    assert len(history) == 60
+    assert history[-1] < history[0] * 0.9
+    assert np.all(np.isfinite(history))
+
+
+def test_classical_training_loss_decreases():
+    cfg = QCPINNConfig(
+        solver="Classical",
+        classic_network=(3, 20, 1),
+        epochs=250,
+        batch_size=24,
+        lr=5e-3,
+        print_every=125,
+        seed=0,
+    )
+    model = ClassicalSolver(cfg)
+    params, history = _run_short_training(model, cfg)
+    assert history[-1] < history[0] * 0.7
+
+    # eval path: relative-L2 on a meshgrid, like diffusion_hybrid_trainer
+    from qcpinn_tpu.data import diffusion as dd
+
+    g = np.linspace(0, 1, 6, dtype=np.float32)
+    T, X, Y = np.meshgrid(g, g, g, indexing="ij")
+    pts = jnp.asarray(np.stack([T.ravel(), X.ravel(), Y.ravel()], 1))
+    rel = float(relative_l2(model.apply(params, pts), dd.u(pts)))
+    assert np.isfinite(rel)
+
+
+def test_amplitude_encoding_training_step():
+    cfg = QCPINNConfig(
+        num_qubits=2,
+        classic_network=(3, 8, 1),
+        encoding="amplitude",
+        epochs=10,
+        batch_size=9,
+        print_every=10,
+        seed=1,
+    )
+    model = DVSolver(cfg)
+    _, history = _run_short_training(model, cfg)
+    assert np.all(np.isfinite(history))
+
+
+def test_param_count_parity_shape():
+    # reference default: 4 qubits, hidden 50, cascade, 1 layer
+    cfg = QCPINNConfig(num_qubits=4, classic_network=(3, 50, 1))
+    model = DVSolver(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # preproc: (3*50+50) + (50*4+4) = 404; q: 12; post: (4*50+50) + (50*1+1) = 301
+    assert count_params(params["pre"]) == 404
+    assert count_params(params["q"]) == 12
+    assert count_params(params["post"]) == 301
