@@ -1,0 +1,175 @@
+"""The flagship 16-qubit Czochralski hybrid PINN
+(CG_HQPINN_IBMtest_16qubits.py:52-160) as pure functions.
+
+Architecture:
+  FourierFeatures(2 -> 48, scale 6)                       :52-59
+  coord_proj: Linear(50,128) Tanh Linear(128,128) Tanh    :89-94
+  ResidualMLP(128) x 2                                    :62-73
+  to_quantum: Linear(128,64) Tanh Linear(64,16); pi*tanh  :98-102,:127
+  quantum: 16-qubit data-reuploading circuit              :217-235
+           RY(x_i) encode; per layer RZ(0.5 x_{(i+l)%n}) +
+           Rot(w_l,i) + even/odd CZ brickwork + ring CZ
+  classical skip: Linear(128,64) Tanh                     :103-106
+  LayerNorm on quantum features                           :109
+  post: Linear(64+16+2,128) Tanh Linear(128,64) Tanh Linear(64,5)  :110-116
+  hard axis constraints: u_r, u_theta scaled by r         :136-147
+
+The reference wraps the circuit in a per-sample BatchedQLayer shim
+(:239-253); here the engine is natively batched — the data-reuploading RZ
+layer is one fused diagonal phase op with per-sample angles, the CZ
+brickwork one static phase vector.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import gates, measure
+from ..ops import statevector as sv
+from ..ops.diag_fusion import bit_matrix
+from . import nn_core as nc
+
+Array = jnp.ndarray
+
+
+@functools.lru_cache(maxsize=8)
+def _cz_brickwork_phases(n: int) -> np.ndarray:
+    """Static [2^n] phase vector of the full CZ brickwork (even pairs, odd
+    pairs, ring closure [n-1, 0]) — CZ adds pi when both bits are 1."""
+    bits = bit_matrix(n)
+    pairs = [(i, i + 1) for i in range(0, n - 1, 2)]
+    pairs += [(i, i + 1) for i in range(1, n - 1, 2)]
+    pairs.append((n - 1, 0))
+    phi = np.zeros(1 << n, dtype=np.float32)
+    for a, b in pairs:
+        phi += np.pi * bits[:, a] * bits[:, b]
+    return phi
+
+
+class CzQuantumLayer:
+    """16-qubit data-reuploading circuit, natively batched."""
+
+    def __init__(self, n_qubits: int = 16, n_layers: int = 2):
+        self.n = n_qubits
+        self.layers = n_layers
+
+    def init(self, key: jax.Array) -> Array:
+        # TorchLayer default init: U(0, 2pi) over weight_shapes (L, n, 3)
+        return jax.random.uniform(
+            key, (self.layers, self.n, 3), minval=0.0, maxval=2 * jnp.pi,
+            dtype=jnp.float32,
+        )
+
+    def apply(
+        self,
+        weights: Array,
+        x: Array,
+        *,
+        shots: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        noise: Optional[measure.NoiseModel] = None,
+    ) -> Array:
+        n = self.n
+        bits = jnp.asarray(bit_matrix(n))
+        brick = jnp.asarray(_cz_brickwork_phases(n))
+        state = sv.zero_state(x.shape[0], n)
+        for w in range(n):
+            state = sv.apply_1q(state, n, w, gates.ry(x[:, w]))
+        for layer in range(self.layers):
+            # data reupload: RZ(0.5 * x[(i+layer) % n]) on wire i — one
+            # batched diagonal phase op (phi = theta.b - sum(theta)/2)
+            theta = 0.5 * jnp.stack(
+                [x[:, (i + layer) % n] for i in range(n)], axis=1
+            )  # [B, n]
+            phi = jnp.einsum(
+                "bn,sn->bs", theta, bits, precision=jax.lax.Precision.HIGHEST
+            ) - 0.5 * jnp.sum(theta, axis=1, keepdims=True)
+            state = state * jnp.exp(1j * phi).astype(state.dtype)
+            for i in range(n):
+                state = sv.apply_1q(
+                    state, n, i,
+                    gates.rot(weights[layer, i, 0], weights[layer, i, 1], weights[layer, i, 2]),
+                )
+            state = state * jnp.exp(1j * brick)[None, :].astype(state.dtype)
+        if shots is None:
+            return measure.exact_z(state, n, noise)
+        if key is None:
+            raise ValueError("shots mode needs a PRNG key")
+        return measure.sampled_z(state, n, shots, key, noise)
+
+
+class Hybrid16QPINN:
+    def __init__(self, n_qubits: int = 16, n_layers: int = 2, ff_seed: int = 0):
+        self.n = n_qubits
+        self.q = CzQuantumLayer(n_qubits, n_layers)
+        self.ff_seed = ff_seed
+
+    def init(self, key: jax.Array) -> dict:
+        ks = jax.random.split(key, 8)
+        n = self.n
+        return {
+            "ff": nc.fourier_features_init(
+                jax.random.PRNGKey(self.ff_seed), 2, 24, 6.0
+            ),
+            "coord_proj": nc.mlp_init(ks[0], (2 + 48, 128, 128)),
+            "res1": nc.mlp_init(ks[1], (128, 128, 128)),
+            "res2": nc.mlp_init(ks[2], (128, 128, 128)),
+            "to_quantum": nc.mlp_init(ks[3], (128, 64, n)),
+            "classical_skip": nc.mlp_init(ks[4], (128, 64)),
+            "q": self.q.init(ks[5]),
+            "q_norm": nc.layernorm_init(n),
+            "post": nc.mlp_init(ks[6], (64 + n + 2, 128, 64, 5)),
+        }
+
+    def encode(self, params: dict, x: Array) -> Array:
+        h = jnp.concatenate([x, nc.fourier_features_apply(params["ff"], x)], axis=-1)
+        h = jnp.tanh(nc.mlp_apply(params["coord_proj"], h))  # L-T-L-T
+        # ResidualMLP: act(x + block(x)), block = L-T-L (:62-73)
+        h = jnp.tanh(h + nc.mlp_apply(params["res1"], h))
+        h = jnp.tanh(h + nc.mlp_apply(params["res2"], h))
+        return h
+
+    def quantum_features(
+        self,
+        params: dict,
+        x: Array,
+        *,
+        detach_quantum: bool = False,
+        shots: Optional[int] = None,
+        key: Optional[jax.Array] = None,
+        noise: Optional[measure.NoiseModel] = None,
+    ) -> Array:
+        h = self.encode(params, x)
+        q_in = jnp.pi * jnp.tanh(nc.mlp_apply(params["to_quantum"], h))
+        q_out = self.q.apply(params["q"], q_in, shots=shots, key=key, noise=noise)
+        if detach_quantum:
+            q_out = jax.lax.stop_gradient(q_out)
+        c_skip = jnp.tanh(nc.mlp_apply(params["classical_skip"], h))
+        q_normed = nc.layernorm_apply(params["q_norm"], q_out)
+        return jnp.concatenate([c_skip, q_normed, x], axis=-1)
+
+    def apply(self, params: dict, x: Array, **kw) -> Array:
+        fused = self.quantum_features(params, x, **kw)
+        raw = nc.mlp_apply(params["post"], fused)
+        # hard axis constraints: u_r, u_theta vanish on the axis (:140-147)
+        r = x[:, 0:1]
+        return jnp.concatenate(
+            [r * raw[:, 0:1], raw[:, 1:2], r * raw[:, 2:3], raw[:, 3:4], raw[:, 4:5]],
+            axis=1,
+        )
+
+    def __call__(self, params, x, **kw):
+        return self.apply(params, x, **kw)
+
+    @staticmethod
+    def head_param_filter(params: dict) -> dict:
+        """Trainability mask for IBM-style head tuning
+        (freeze_for_ibm_head_tuning, :149-155): only `post` trains."""
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: path[0].key == "post", params
+        )

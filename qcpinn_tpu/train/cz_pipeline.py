@@ -1,0 +1,262 @@
+"""Two-phase Czochralski training pipeline
+(CG_HQPINN_IBMtest_16qubits.py:471-613), TPU-native.
+
+Phase "pretrain" (the reference's Aer stage): exact simulation, Adam +
+per-epoch cosine annealing, EMA-normalized physics weighting with
+warmup+ramp, minibatches over the COMSOL dataset — the whole epoch is one
+lax.scan (shuffle, batch, data+physics loss, EMA update, Adam) compiled
+once.
+
+Phase "finetune" (the reference's IBM stage): shot-sampled measurements
+(the hardware-fidelity mode replacing the cloud QPU), data-MSE only on a
+coverage-chosen calibration subset, head-only (gradient-masked) or full
+scope. The checkpoint carries the normalization stats — the load-bearing
+handoff artifact (:443-464).
+
+Deviations from the reference (documented): batches are drop_last=True so
+the epoch is a fixed-shape scan (the reference keeps the ragged final batch;
+points land in other epochs via reshuffling), and the finetune gradient uses
+stop_gradient through the sampled measurement with head-only scope (the
+head's gradient is exact; the reference's parameter-shift path is available
+via train/hardware_grad.py for full-scope runs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.cz_loader import DataStats, choose_calibration_subset
+from ..models.czochralski import Hybrid16QPINN
+from ..physics.cylindrical import cz_residuals
+
+PHYS_KEYS = ("cont", "mom_r", "mom_z", "swirl", "energy")
+
+
+@dataclasses.dataclass
+class CzConfig:
+    n_qubits: int = 16
+    n_layers: int = 2
+    epochs: int = 2000
+    batch_size: int = 16
+    lr: float = 1e-3
+    seed: int = 0
+    re: float = 100.0
+    pr: float = 0.011
+    gr: float = 1e5
+    physics_weight: float = 1.0
+    physics_warmup: int = 100
+    physics_ramp: int = 400
+    ema_beta: float = 0.95
+    log_every: int = 50
+    # finetune phase
+    finetune_epochs: int = 100
+    finetune_lr: float = 1e-4
+    shots: Optional[int] = 4096
+    calib_size: int = 8
+    train_scope: str = "head"  # head | full
+
+
+def _cosine_lr(base_lr: float, epoch: jnp.ndarray, t_max: int) -> jnp.ndarray:
+    return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / max(t_max, 1)))
+
+
+def make_pretrain_epoch(
+    model: Hybrid16QPINN,
+    X: np.ndarray,
+    Y: np.ndarray,
+    stats: DataStats,
+    cfg: CzConfig,
+):
+    """Build the jitted one-epoch function. State: (params, opt_state, ema)."""
+    n_batches = len(X) // cfg.batch_size
+    if n_batches == 0:
+        raise ValueError("batch_size larger than dataset")
+    Xd = jnp.asarray(X[: n_batches * cfg.batch_size])
+    Yd = jnp.asarray(Y[: n_batches * cfg.batch_size])
+
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.scale_by_adam(),
+        optax.scale(-1.0),  # lr injected per epoch below
+    )
+
+    def batch_loss(params, xb, yb, ema, phys_w):
+        pred = model.apply(params, xb)
+        data_loss = jnp.mean((pred - yb) ** 2)
+        phys_total, phys_terms = cz_residuals(
+            lambda Xp: model.apply(params, Xp),
+            xb,
+            stats.pressure_coeff,
+            cfg.re,
+            cfg.pr,
+            cfg.gr,
+        )
+        # EMA-normalized physics weight (:510-513): weights are EMA'd
+        # relative magnitudes; only the *mean physics weight* scales the loss.
+        detached = {
+            "data": jax.lax.stop_gradient(data_loss),
+            **{k: jax.lax.stop_gradient(v) for k, v in phys_terms.items()},
+        }
+        avg = jnp.maximum(sum(detached.values()) / len(detached), 1e-12)
+        new_ema = {
+            k: cfg.ema_beta * ema[k] + (1.0 - cfg.ema_beta) * (v / avg)
+            for k, v in detached.items()
+        }
+        mean_phys_w = sum(new_ema[k] for k in PHYS_KEYS) / len(PHYS_KEYS)
+        scaled_phys = phys_w * (phys_total / jnp.maximum(mean_phys_w, 1e-12))
+        total = data_loss + scaled_phys
+        return total, (data_loss, phys_total, new_ema)
+
+    @jax.jit
+    def epoch_fn(params, opt_state, ema, epoch_idx, key):
+        ramp = jnp.clip(
+            (epoch_idx - cfg.physics_warmup) / max(cfg.physics_ramp, 1), 0.0, 1.0
+        )
+        phys_w = cfg.physics_weight * ramp
+        lr = _cosine_lr(cfg.lr, epoch_idx.astype(jnp.float32), cfg.epochs)
+
+        perm = jax.random.permutation(key, n_batches * cfg.batch_size)
+        Xs = Xd[perm].reshape(n_batches, cfg.batch_size, -1)
+        Ys = Yd[perm].reshape(n_batches, cfg.batch_size, -1)
+
+        def step(carry, xy):
+            params, opt_state, ema = carry
+            xb, yb = xy
+            (total, (dl, pl, ema)), grads = jax.value_and_grad(
+                batch_loss, has_aux=True
+            )(params, xb, yb, ema, phys_w)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, ema), (total, dl, pl)
+
+        (params, opt_state, ema), (totals, datas, physes) = jax.lax.scan(
+            step, (params, opt_state, ema), (Xs, Ys)
+        )
+        metrics = {
+            "loss": jnp.mean(totals),
+            "data": jnp.mean(datas),
+            "phys": jnp.mean(physes),
+            "phys_w": phys_w,
+            "lr": lr,
+        }
+        return params, opt_state, ema, metrics
+
+    return optimizer, epoch_fn, n_batches
+
+
+def run_pretrain(
+    model: Hybrid16QPINN,
+    X: np.ndarray,
+    Y: np.ndarray,
+    stats: DataStats,
+    cfg: CzConfig,
+    logger=None,
+    params: Optional[dict] = None,
+    start_epoch: int = 0,
+    checkpoint_fn=None,
+    save_every: int = 0,
+) -> Tuple[dict, list]:
+    def log(msg):
+        if logger is not None:
+            logger.print(msg)
+        else:
+            print(msg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    if params is None:
+        params = model.init(key)
+    optimizer, epoch_fn, n_batches = make_pretrain_epoch(model, X, Y, stats, cfg)
+    opt_state = optimizer.init(params)
+    ema = {k: jnp.asarray(1.0) for k in ("data",) + PHYS_KEYS}
+
+    history = []
+    t0 = time.time()
+    for epoch in range(start_epoch + 1, cfg.epochs + 1):
+        ekey = jax.random.fold_in(key, epoch)
+        params, opt_state, ema, metrics = epoch_fn(
+            params, opt_state, ema, jnp.asarray(epoch, jnp.float32), ekey
+        )
+        m = jax.device_get(metrics)
+        history.append(float(m["loss"]))
+        if epoch == 1 or epoch % cfg.log_every == 0 or epoch == cfg.epochs:
+            log(
+                f"[PRETRAIN] epoch {epoch:04d}/{cfg.epochs} | "
+                f"loss={m['loss']:.4e} | data={m['data']:.4e} | "
+                f"phys={m['phys']:.4e} | phys_w={m['phys_w']:.3e} | "
+                f"lr={m['lr']:.2e} | elapsed={time.time()-t0:.1f}s"
+            )
+        if checkpoint_fn is not None and save_every and epoch % save_every == 0:
+            checkpoint_fn(params, epoch, history)
+    return params, history
+
+
+def run_finetune(
+    model: Hybrid16QPINN,
+    params: dict,
+    X: np.ndarray,
+    Y: np.ndarray,
+    stats: DataStats,
+    cfg: CzConfig,
+    logger=None,
+) -> Tuple[dict, list]:
+    """Shot-noise fine-tuning on the calibration subset (:544-613)."""
+    del stats  # normalization already applied to X/Y
+
+    def log(msg):
+        if logger is not None:
+            logger.print(msg)
+        else:
+            print(msg)
+
+    x_c, y_c = choose_calibration_subset(X, Y, cfg.calib_size)
+    xb = jnp.asarray(x_c)
+    yb = jnp.asarray(y_c)
+
+    if cfg.train_scope == "head":
+        mask = Hybrid16QPINN.head_param_filter(params)
+        detach_quantum = True
+    elif cfg.train_scope == "full":
+        mask = jax.tree_util.tree_map(lambda _: True, params)
+        detach_quantum = False
+    else:
+        raise ValueError(f"unsupported train_scope {cfg.train_scope!r}")
+
+    optimizer = optax.adam(cfg.finetune_lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        def loss_fn(p):
+            pred = model.apply(
+                p, xb, shots=cfg.shots, key=key, detach_quantum=detach_quantum
+            )
+            return jnp.mean((pred - yb) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree_util.tree_map(
+            lambda g, m: g * jnp.asarray(m, g.dtype), grads, mask
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    history = []
+    for epoch in range(1, cfg.finetune_epochs + 1):
+        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(key, epoch))
+        history.append(float(loss))
+        if epoch == 1 or epoch % cfg.log_every == 0 or epoch == cfg.finetune_epochs:
+            log(
+                f"[FINETUNE] epoch {epoch:04d}/{cfg.finetune_epochs} | "
+                f"data={history[-1]:.4e} | shots={cfg.shots} | scope={cfg.train_scope}"
+            )
+    return params, history

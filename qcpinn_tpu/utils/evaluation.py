@@ -1,0 +1,72 @@
+"""Evaluation: meshgrid relative-L2 vs analytic solutions + summaries
+(trainer/diffusion_hybrid_trainer.py:126-184, train_hybrid_qpinn.py:768-811)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..train.losses import relative_l2
+
+
+def meshgrid_points(num: int = 20, dims: int = 3) -> np.ndarray:
+    """Regular grid over the unit hypercube, [num^dims, dims] float32
+    (the reference's 20^3 evaluation grid)."""
+    axes = [np.linspace(0.0, 1.0, num, dtype=np.float32)] * dims
+    grids = np.meshgrid(*axes, indexing="ij")
+    return np.stack([g.ravel() for g in grids], axis=1)
+
+
+def evaluate_relative_l2(
+    model_apply: Callable,
+    params,
+    analytic_u: Callable,
+    analytic_r: Optional[Callable] = None,
+    operator: Optional[Callable] = None,
+    num: int = 20,
+    batch: int = 4096,
+) -> Dict[str, float]:
+    """Relative L2 (%) of u (and optionally of the PDE residual vs analytic
+    forcing) on a num^3 grid, mirroring diffusion_hybrid_trainer.py:161-184."""
+    pts = meshgrid_points(num)
+    preds = []
+    for i in range(0, len(pts), batch):
+        chunk = jnp.asarray(pts[i : i + batch])
+        preds.append(np.asarray(model_apply(params, chunk)))
+    pred = np.concatenate(preds, axis=0)
+    exact = np.asarray(analytic_u(jnp.asarray(pts)))
+    out = {
+        "rel_l2_u_percent": 100.0
+        * float(relative_l2(jnp.asarray(pred), jnp.asarray(exact)))
+    }
+    if analytic_r is not None and operator is not None:
+        res_chunks = []
+        for i in range(0, len(pts), batch):
+            chunk = jnp.asarray(pts[i : i + batch])
+            _, res = operator(lambda X: model_apply(params, X), chunk)
+            res_chunks.append(np.asarray(res))
+        res = np.concatenate(res_chunks, axis=0)
+        exact_r = np.asarray(analytic_r(jnp.asarray(pts)))
+        out["rel_l2_r_percent"] = 100.0 * float(
+            relative_l2(jnp.asarray(res), jnp.asarray(exact_r))
+        )
+    return out
+
+
+def mse_at_time_slice(
+    model_apply: Callable,
+    params,
+    analytic_u: Callable,
+    t: float = 0.5,
+    num: int = 20,
+) -> float:
+    """MSE on a spatial grid at fixed t (train_hybrid_qpinn.py:810-811)."""
+    g = np.linspace(0.0, 1.0, num, dtype=np.float32)
+    X, Y = np.meshgrid(g, g, indexing="ij")
+    pts = np.stack([np.full(X.size, t, np.float32), X.ravel(), Y.ravel()], axis=1)
+    pred = np.asarray(model_apply(params, jnp.asarray(pts)))
+    exact = np.asarray(analytic_u(jnp.asarray(pts)))
+    return float(np.mean((pred - exact) ** 2))

@@ -1,0 +1,116 @@
+"""Publication plots, off the hot path (utils/ContourPlotter.py + loss
+plots): per-timestep contour grids with shared per-row color scales,
+solution vs error colormaps, and training curves."""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+def _mpl():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_loss_history(loss_history: Sequence[float], out_dir: str, name: str = "loss_history") -> str:
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.semilogy(np.asarray(loss_history))
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss")
+    ax.grid(True, alpha=0.3)
+    path = os.path.join(out_dir, f"{name}.pdf")
+    fig.savefig(path, bbox_inches="tight", dpi=300)
+    fig.savefig(os.path.join(out_dir, f"{name}.png"), bbox_inches="tight", dpi=150)
+    plt.close(fig)
+    return path
+
+
+def draw_contourf_grid(
+    model_apply: Callable,
+    params,
+    analytic_u: Callable,
+    out_dir: str,
+    times: Sequence[float] = (0.25, 0.5, 0.75),
+    num: int = 50,
+    name: str = "contour_plots",
+) -> str:
+    """3-row grid per timestep: prediction / exact / |error|, shared row
+    scales (ContourPlotter.draw_contourf_regular_2D semantics)."""
+    import jax.numpy as jnp
+
+    plt = _mpl()
+    g = np.linspace(0.0, 1.0, num, dtype=np.float32)
+    X, Y = np.meshgrid(g, g, indexing="ij")
+
+    fig, axes = plt.subplots(
+        3, len(times), figsize=(4 * len(times), 10), squeeze=False
+    )
+    rows = {0: [], 1: [], 2: []}
+    fields = []
+    for t in times:
+        pts = np.stack([np.full(X.size, t, np.float32), X.ravel(), Y.ravel()], 1)
+        pred = np.asarray(model_apply(params, jnp.asarray(pts))).reshape(num, num)
+        exact = np.asarray(analytic_u(jnp.asarray(pts))).reshape(num, num)
+        err = np.abs(pred - exact)
+        fields.append((pred, exact, err))
+        for r, f in enumerate((pred, exact, err)):
+            rows[r].append(f)
+
+    for r in range(3):
+        vmin = min(f.min() for f in rows[r])
+        vmax = max(f.max() for f in rows[r])
+        for c, t in enumerate(times):
+            cmap = "rainbow" if r < 2 else "Oranges"
+            im = axes[r][c].contourf(
+                X, Y, fields[c][r], levels=50, cmap=cmap, vmin=vmin, vmax=vmax
+            )
+            label = ["prediction", "exact", "|error|"][r]
+            axes[r][c].set_title(f"{label} @ t={t}")
+            fig.colorbar(im, ax=axes[r][c])
+
+    path = os.path.join(out_dir, f"{name}.pdf")
+    fig.savefig(path, bbox_inches="tight", dpi=300)
+    fig.savefig(os.path.join(out_dir, f"{name}.png"), bbox_inches="tight", dpi=150)
+    plt.close(fig)
+    return path
+
+
+def plot_field_scatter(
+    coords: np.ndarray,
+    values: np.ndarray,
+    names: Sequence[str],
+    out_dir: str,
+    name: str = "fields",
+    pred: Optional[np.ndarray] = None,
+) -> str:
+    """Scatter plots of (r, z) fields — the Czochralski diagnostics suite
+    (cg-hqpinn/...:515-587): ground-truth fields and optional
+    prediction-vs-truth comparison."""
+    plt = _mpl()
+    k = values.shape[1]
+    nrows = 2 if pred is not None else 1
+    fig, axes = plt.subplots(nrows, k, figsize=(3.2 * k, 3.2 * nrows), squeeze=False)
+    for i in range(k):
+        im = axes[0][i].scatter(
+            coords[:, 0], coords[:, 1], c=values[:, i], s=2, cmap="rainbow"
+        )
+        axes[0][i].set_title(names[i])
+        fig.colorbar(im, ax=axes[0][i])
+        if pred is not None:
+            im = axes[1][i].scatter(
+                coords[:, 0], coords[:, 1], c=pred[:, i], s=2, cmap="rainbow"
+            )
+            axes[1][i].set_title(f"pred {names[i]}")
+            fig.colorbar(im, ax=axes[1][i])
+    path = os.path.join(out_dir, f"{name}.png")
+    fig.savefig(path, bbox_inches="tight", dpi=150)
+    plt.close(fig)
+    return path

@@ -1,0 +1,182 @@
+"""Czochralski flagship: data loader, cylindrical physics, the 16q model
+(at reduced size for CI), and the two-phase pipeline."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qcpinn_tpu.data.cz_loader import (
+    DataStats,
+    choose_calibration_subset,
+    load_cz_data,
+)
+from qcpinn_tpu.models.czochralski import CzQuantumLayer, Hybrid16QPINN
+from qcpinn_tpu.models.nn_core import count_params
+from qcpinn_tpu.physics.cylindrical import cz_residuals
+from qcpinn_tpu.train.cz_pipeline import CzConfig, run_finetune, run_pretrain
+
+CZ_PATH = "/root/reference/data/cz_melt_raw.txt"
+
+
+@pytest.mark.skipif(not os.path.exists(CZ_PATH), reason="COMSOL file absent")
+def test_load_cz_data_shapes_and_normalization():
+    X, Y, stats = load_cz_data(CZ_PATH)
+    assert X.shape[0] == Y.shape[0] == 18108  # header says 18108 nodes
+    assert X.shape[1] == 2 and Y.shape[1] == 5
+    # nondimensionalized: coords and velocity/pressure within [-1, 1],
+    # temperature within [0, 1]
+    assert np.abs(X).max() <= 1.0 + 1e-6
+    assert np.abs(Y[:, :4]).max() <= 1.0 + 1e-6
+    assert Y[:, 4].min() >= -1e-6 and Y[:, 4].max() <= 1.0 + 1e-6
+    assert stats.pressure_coeff == pytest.approx(
+        stats.pressure_scale / stats.velocity_scale**2
+    )
+
+
+def test_calibration_subset_coverage():
+    X = np.random.default_rng(0).uniform(0, 1, (100, 2)).astype(np.float32)
+    Y = np.zeros((100, 5), np.float32)
+    xs, ys = choose_calibration_subset(X, Y, 8)
+    assert xs.shape == (8, 2)
+    # picks span the sorted range
+    key = xs[:, 0] + 0.25 * xs[:, 1]
+    full = X[:, 0] + 0.25 * X[:, 1]
+    assert key.min() == pytest.approx(full.min())
+    assert key.max() == pytest.approx(full.max())
+
+
+def test_cz_quantum_layer_reupload_consistency(rng):
+    """The fused reupload layer must match an explicit per-gate build."""
+    from qcpinn_tpu.ops import gates, statevector as sv
+    from qcpinn_tpu.ops.diag_fusion import bit_matrix
+
+    n, L = 4, 2
+    q = CzQuantumLayer(n, L)
+    w = jnp.asarray(rng.uniform(0, 2 * np.pi, (L, n, 3)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-np.pi, np.pi, (3, n)).astype(np.float32))
+    got = np.asarray(q.apply(w, x))
+
+    # explicit reference: per-sample, per-gate
+    for b in range(x.shape[0]):
+        state = sv.zero_state(1, n)
+        xb = x[b : b + 1]
+        for i in range(n):
+            state = sv.apply_1q(state, n, i, gates.ry(xb[:, i]))
+        for layer in range(L):
+            for i in range(n):
+                state = sv.apply_1q(
+                    state, n, i, gates.rz(0.5 * xb[:, (i + layer) % n])
+                )
+            for i in range(n):
+                state = sv.apply_1q(
+                    state, n, i, gates.rot(w[layer, i, 0], w[layer, i, 1], w[layer, i, 2])
+                )
+            for i in range(0, n - 1, 2):
+                state = sv.apply_2q(state, n, i, i + 1, jnp.asarray(gates.CZ))
+            for i in range(1, n - 1, 2):
+                state = sv.apply_2q(state, n, i, i + 1, jnp.asarray(gates.CZ))
+            state = sv.apply_2q(state, n, n - 1, 0, jnp.asarray(gates.CZ))
+        want = np.asarray(sv.z_expvals(state, n))[0]
+        np.testing.assert_allclose(got[b], want, atol=1e-5)
+
+
+def _small_model():
+    return Hybrid16QPINN(n_qubits=4, n_layers=1)
+
+
+def test_hybrid16q_hard_constraints(rng):
+    model = _small_model()
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(0, 1, (6, 2)).astype(np.float32))
+    x_axis = x.at[:, 0].set(0.0)  # on the symmetry axis r = 0
+    out = model.apply(params, x_axis)
+    np.testing.assert_allclose(np.asarray(out[:, 0]), 0.0, atol=1e-7)  # u_r
+    np.testing.assert_allclose(np.asarray(out[:, 2]), 0.0, atol=1e-7)  # u_theta
+
+
+def test_hybrid16q_param_count_at_full_size():
+    model = Hybrid16QPINN(n_qubits=16, n_layers=2)
+    params = model.init(jax.random.PRNGKey(0))
+    trainable = count_params(params) - int(params["ff"]["B"].size)  # ff is a buffer
+    # reference code default (n_layers=2): 125,973 trainable parameters
+    # (the diagnostics readme's 126,021 corresponds to a 3-layer run)
+    assert trainable == 125_973
+
+
+def test_cz_residuals_finite_and_jittable(rng):
+    model = _small_model()
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(0.1, 1, (8, 2)).astype(np.float32))
+
+    @jax.jit
+    def loss(p):
+        total, terms = cz_residuals(
+            lambda X: model.apply(p, X), x, 1.0, 100.0, 0.011, 1e5
+        )
+        return total
+
+    val = float(loss(params))
+    assert np.isfinite(val)
+    g = jax.grad(loss)(params)
+    assert all(
+        np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g)
+    )
+
+
+def test_two_phase_pipeline_smoke(rng):
+    """pretrain -> checkpoint handoff -> shot-noise head finetune, tiny."""
+    model = _small_model()
+    N = 64
+    X = rng.uniform(0.05, 1, (N, 2)).astype(np.float32)
+    Y = rng.uniform(-0.5, 0.5, (N, 5)).astype(np.float32)
+    stats = DataStats(1, 1, 1, 0, 1, 1.0)
+    cfg = CzConfig(
+        n_qubits=4,
+        n_layers=1,
+        epochs=3,
+        batch_size=16,
+        lr=1e-3,
+        physics_warmup=0,
+        physics_ramp=1,
+        log_every=1,
+        finetune_epochs=4,
+        shots=256,
+        calib_size=8,
+        train_scope="head",
+        seed=0,
+    )
+    params, hist = run_pretrain(model, X, Y, stats, cfg)
+    assert len(hist) == 3 and np.all(np.isfinite(hist))
+
+    # checkpoint round trip with stats (the load-bearing handoff)
+    import tempfile
+
+    from qcpinn_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "ckpt")
+        save_checkpoint(
+            path, params, stats=stats.to_dict(), config=vars(cfg) if hasattr(cfg, "__dict__") else None, epoch=3
+        )
+        template = {"params": model.init(jax.random.PRNGKey(1)), "opt_state": None, "sched": None}
+        restored = load_checkpoint(path, template)
+        assert restored["epoch"] == 3
+        assert restored["stats"]["pressure_coeff"] == 1.0
+        r_params = restored["bundle"]["params"]
+        x_test = jnp.asarray(X[:4])
+        np.testing.assert_allclose(
+            np.asarray(model.apply(params, x_test)),
+            np.asarray(model.apply(r_params, x_test)),
+            atol=1e-6,
+        )
+
+    q_before = np.asarray(params["q"])
+    post_before = np.asarray(params["post"][0]["w"])
+    params2, hist2 = run_finetune(model, params, X, Y, stats, cfg)
+    assert np.all(np.isfinite(hist2))
+    # head-only scope: quantum weights frozen, post head moved
+    np.testing.assert_array_equal(np.asarray(params2["q"]), q_before)
+    assert np.abs(np.asarray(params2["post"][0]["w"]) - post_before).max() > 0

@@ -1,0 +1,183 @@
+"""Hardware-fidelity modes: parameter-shift rules vs exact autodiff, SPSA
+convergence, staged layerwise training, noise model, checkpoint/logger."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qcpinn_tpu.ops import DVCircuit, NoiseModel
+from qcpinn_tpu.train.hardware_grad import evals_per_step, make_hw_apply
+from qcpinn_tpu.train.spsa import SPSAConfig, make_spsa_trainer
+from qcpinn_tpu.train.staged import (
+    StagedConfig,
+    estimate_loss_noise,
+    train_classical_only,
+    train_quantum_layerwise,
+)
+
+
+@pytest.mark.parametrize("ansatz", ["cascade", "layered", "farhi", "sim_circ_15", "cross_mesh"])
+def test_parameter_shift_matches_autodiff_exact(rng, ansatz):
+    """With shots=None the shift rules must reproduce exact gradients —
+    validates the two-term AND four-term (CRX/CRZ) rules."""
+    circ = DVCircuit(3, 1, ansatz)
+    params = circ.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 3)).astype(np.float32))
+    hw = make_hw_apply(circ, shots=None)
+    key = jax.random.PRNGKey(1)
+
+    def loss_hw(p, xx):
+        return jnp.sum(hw(p, xx, key) ** 2)
+
+    def loss_exact(p, xx):
+        return jnp.sum(circ.apply(p, xx) ** 2)
+
+    gp_hw, gx_hw = jax.grad(loss_hw, argnums=(0, 1))(params, x)
+    gp_ex, gx_ex = jax.grad(loss_exact, argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gp_hw), np.asarray(gp_ex), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gx_hw), np.asarray(gx_ex), atol=2e-4)
+
+
+def test_parameter_shift_with_shots_is_unbiased(rng):
+    circ = DVCircuit(2, 1, "cascade")
+    params = circ.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 2)).astype(np.float32))
+    hw = make_hw_apply(circ, shots=2048)
+
+    def loss(p, key):
+        return jnp.sum(hw(p, x, key))
+
+    g_exact = jax.grad(lambda p: jnp.sum(circ.apply(p, x)))(params)
+    keys = jax.random.split(jax.random.PRNGKey(3), 24)
+    gs = np.stack([np.asarray(jax.grad(loss)(params, k)) for k in keys])
+    err = np.abs(gs.mean(0) - np.asarray(g_exact)).max()
+    assert err < 0.05, err
+
+
+def test_evals_per_step_accounting():
+    circ = DVCircuit(4, 1, "cascade")  # 8 two-term (rx+rz) + 4 crx + 4 inputs
+    # 1 + (8*2 + 4*4) + 2*4 = 1 + 32 + 8 = 41
+    assert evals_per_step(circ) == 41
+
+
+def test_spsa_minimizes_quadratic():
+    target = jnp.asarray([0.3, -0.7, 1.1])
+
+    def loss(p, key):
+        del key
+        return jnp.sum((p["w"] - target) ** 2)
+
+    step = make_spsa_trainer(loss, SPSAConfig(a=0.2, c=0.05))
+    params = {"w": jnp.zeros(3)}
+    key = jax.random.PRNGKey(0)
+    for k in range(1, 201):
+        params, l = step(params, jnp.asarray(k), jax.random.fold_in(key, k))
+    np.testing.assert_allclose(np.asarray(params["w"]), np.asarray(target), atol=0.1)
+
+
+def test_noise_model_shrinks_expectations(rng):
+    circ = DVCircuit(2, 1, "cascade")
+    params = circ.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(-1, 1, (3, 2)).astype(np.float32))
+    clean = np.asarray(circ.apply(params, x))
+    noisy = np.asarray(
+        circ.apply(params, x, noise=NoiseModel(depolarizing=0.1, readout=0.02))
+    )
+    np.testing.assert_allclose(noisy, clean * 0.9 * 0.96, atol=1e-6)
+
+
+def _toy_problem():
+    circ = DVCircuit(2, 3, "cascade")
+    import qcpinn_tpu.models.nn_core as nc
+
+    def init(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "pre": nc.mlp_init(k1, (2, 6, 2)),
+            "q": circ.init_params(k2),
+            "post": nc.mlp_init(k3, (2, 6, 1)),
+        }
+
+    X = jax.random.uniform(jax.random.PRNGKey(9), (16, 2))
+    Y = jnp.sin(X[:, :1] * 3)
+
+    def apply(params, x, shots=None, key=None):
+        import qcpinn_tpu.models.nn_core as nc
+
+        h = nc.mlp_apply(params["pre"], x)
+        z = circ.apply(params["q"], h, shots=shots, key=key)
+        return nc.mlp_apply(params["post"], z)
+
+    return init, apply, X, Y
+
+
+def test_staged_classical_then_layerwise(rng):
+    init, apply, X, Y = _toy_problem()
+    params = init(jax.random.PRNGKey(0))
+
+    def exact_loss(p, key):
+        del key
+        return jnp.mean((apply(p, X) - Y) ** 2)
+
+    cfg = StagedConfig(
+        classical_epochs=30,
+        layer_epochs=8,
+        initial_shots=256,
+        max_shots=512,
+        noise_evals=3,
+        seed=0,
+    )
+    params, hist = train_classical_only(exact_loss, params, cfg=cfg)
+    assert hist[-1] < hist[0]
+
+    def make_loss(shots):
+        def loss(p, key):
+            return jnp.mean((apply(p, X, shots=shots, key=key) - Y) ** 2)
+
+        return loss
+
+    pre_before = jax.tree_util.tree_leaves(params["pre"])
+    params, report = train_quantum_layerwise(
+        make_loss, params, num_layers=3, cfg=cfg
+    )
+    # classical params untouched in stage 2
+    for a, b in zip(pre_before, jax.tree_util.tree_leaves(params["pre"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # all 3 layers visited, reverse order, shots escalate to max
+    assert [r["layer"] for r in report] == [2, 1, 0]
+    assert report[0]["levels"][-1]["shots"] == 512
+
+
+def test_estimate_loss_noise_scaling():
+    circ = DVCircuit(2, 1, "cascade")
+    params = circ.init_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 2))
+
+    def make(shots):
+        def loss(p, key):
+            return jnp.mean(circ.apply(p, x, shots=shots, key=key))
+
+        return loss
+
+    _, sigma_small = estimate_loss_noise(make(64), params, jax.random.PRNGKey(2), 8)
+    _, sigma_big = estimate_loss_noise(make(4096), params, jax.random.PRNGKey(2), 8)
+    assert sigma_big < sigma_small  # Var ~ 1/shots
+
+
+def test_logger_and_config_dump(tmp_path):
+    from qcpinn_tpu.config import QCPINNConfig
+    from qcpinn_tpu.utils.logger import Logging
+
+    logger = Logging(log_root=str(tmp_path), run_name="t")
+    logger.print("hello", 3.14159)
+    cfg = QCPINNConfig(num_qubits=2)
+    path = logger.dump_config(cfg)
+    assert os.path.exists(path)
+    assert os.path.exists(os.path.join(logger.get_output_dir(), "output.log"))
+    with open(os.path.join(logger.get_output_dir(), "output.log")) as f:
+        content = f.read()
+    assert "hello" in content
