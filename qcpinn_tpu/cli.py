@@ -1,0 +1,317 @@
+"""Command-line entry points.
+
+`python -m qcpinn_tpu.cli train` is the consolidation of the reference's
+argparse CLI (train_hybrid_qpinn.py:50-109) and config-script trainers
+(trainer/diffusion_hybrid_trainer*.py): pick a solver (DV/CV/Classical), an
+ansatz, a problem, train, evaluate relative-L2 on the meshgrid, and emit
+plots + checkpoints into a timestamped run directory.
+
+`python -m qcpinn_tpu.cli cz` runs the two-phase Czochralski pipeline
+(CG_HQPINN_IBMtest_16qubits.py CLI): --phase pretrain|finetune with a
+checkpoint handoff, plus --quick-check smoke mode (:663-680).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="qcpinn_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train a PDE solver")
+    t.add_argument("--problem", default="diffusion",
+                   choices=["diffusion", "diffusion_sine", "wave", "klein_gordon", "helmholtz"])
+    t.add_argument("--solver", default="DV", choices=["DV", "CV", "Classical"])
+    t.add_argument("--ansatz", default="cascade",
+                   choices=["cascade", "layered", "alternate", "farhi", "sim_circ_15", "cross_mesh"])
+    t.add_argument("--encoding", default="angle", choices=["angle", "amplitude"])
+    t.add_argument("--num-qubits", type=int, default=4)
+    t.add_argument("--num-layers", type=int, default=1)
+    t.add_argument("--cutoff-dim", type=int, default=6)
+    t.add_argument("--cv-class", type=int, default=1, choices=[1, 2, 3])
+    t.add_argument("--hidden-dim", type=int, default=50)
+    t.add_argument("--epochs", type=int, default=20000)
+    t.add_argument("--batch-size", type=int, default=64)
+    t.add_argument("--lr", type=float, default=5e-3)
+    t.add_argument("--seed", type=int, default=42)
+    t.add_argument("--print-every", type=int, default=500)
+    t.add_argument("--scheduler", default="plateau", choices=["plateau", "cosine", "none"])
+    t.add_argument("--shots", type=int, default=None,
+                   help="shot-noise simulation mode (hardware fidelity)")
+    t.add_argument("--noise-depolarizing", type=float, default=0.0)
+    t.add_argument("--noise-readout", type=float, default=0.0)
+    t.add_argument("--output-dir", default="runs")
+    t.add_argument("--run-name", default=None)
+    t.add_argument("--eval-grid", type=int, default=20)
+    t.add_argument("--no-plots", action="store_true")
+    t.add_argument("--data-parallel", action="store_true",
+                   help="shard the collocation batch over all local devices")
+
+    c = sub.add_parser("cz", help="Czochralski two-phase pipeline")
+    c.add_argument("--phase", choices=["pretrain", "finetune"], required=True)
+    c.add_argument("--data", required=True)
+    c.add_argument("--save", required=True)
+    c.add_argument("--load", default="")
+    c.add_argument("--n-qubits", type=int, default=16)
+    c.add_argument("--n-layers", type=int, default=2)
+    c.add_argument("--epochs", type=int, default=2000)
+    c.add_argument("--batch-size", type=int, default=16)
+    c.add_argument("--lr", type=float, default=1e-3)
+    c.add_argument("--re", type=float, default=100.0)
+    c.add_argument("--pr", type=float, default=0.011)
+    c.add_argument("--gr", type=float, default=1e5)
+    c.add_argument("--physics-weight", type=float, default=1.0)
+    c.add_argument("--physics-warmup", type=int, default=100)
+    c.add_argument("--physics-ramp", type=int, default=400)
+    c.add_argument("--log-every", type=int, default=50)
+    c.add_argument("--shots", type=int, default=4096)
+    c.add_argument("--calib-size", type=int, default=8)
+    c.add_argument("--train-scope", default="head", choices=["head", "full"])
+    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--save-every", type=int, default=0)
+    c.add_argument("--quick-check", action="store_true",
+                   help="2-epoch, tiny-model smoke run")
+    c.add_argument("--output-dir", default="runs")
+    return p
+
+
+def cmd_train(args) -> int:
+    import jax
+    import numpy as np
+
+    from .config import QCPINNConfig
+    from .data import diffusion as dd
+    from .models import ClassicalSolver, DVSolver
+    from .models.cv_solver import CVSolver
+    from .models.nn_core import count_params
+    from .physics import operators as ops
+    from .train import TermSpec, train
+    from .utils.logger import Logging
+    from .utils.evaluation import evaluate_relative_l2
+
+    in_dims = {"diffusion": 3, "diffusion_sine": 3, "wave": 2,
+               "klein_gordon": 2, "helmholtz": 2}
+    cfg = QCPINNConfig(
+        problem=args.problem,
+        solver=args.solver,
+        classic_network=(in_dims[args.problem], args.hidden_dim, 1),
+        num_qubits=args.num_qubits,
+        num_quantum_layers=args.num_layers,
+        q_ansatz=args.ansatz,
+        encoding=args.encoding,
+        cv_class=args.cv_class,
+        cutoff_dim=args.cutoff_dim,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        seed=args.seed,
+        print_every=args.print_every,
+        scheduler=args.scheduler,
+        shots=args.shots,
+        noise_depolarizing=args.noise_depolarizing,
+        noise_readout=args.noise_readout,
+        output_dir=args.output_dir,
+        run_name=args.run_name,
+    )
+    logger = Logging(cfg.output_dir, cfg.run_name or f"{cfg.solver}-{cfg.q_ansatz}-{cfg.problem}")
+    logger.dump_config(cfg)
+
+    model = {"DV": DVSolver, "CV": CVSolver, "Classical": ClassicalSolver}[cfg.solver](cfg)
+
+    # problem setup: samplers + operator + analytic oracle
+    box = dd._box
+    if args.problem == "diffusion":
+        samplers = dd.gaussian_pulse_samplers()
+        from .train import diffusion_terms
+
+        terms = diffusion_terms(samplers, cfg.batch_size, cfg.loss_weights)
+        operator = ops.diffusion_operator
+        analytic_u, analytic_r = dd.u, dd.r
+    elif args.problem == "diffusion_sine":
+        s = dd.sine_samplers()
+        third = max(cfg.batch_size // 3, 1)
+        twelfth = max(cfg.batch_size // 12, 1)
+        terms = {
+            "res": TermSpec(s["res"], 2.0, cfg.batch_size, "residual"),
+            "ic": TermSpec(s["ics"], 2.0, third, "value"),
+            **{
+                f"bc{i}": TermSpec(s[f"bc{i}"], 4.0, twelfth, "value")
+                for i in range(1, 5)
+            },
+        }
+        operator = lambda apply, X: ops.diffusion_operator(apply, X, v_x=0.0, v_y=0.0)
+        analytic_u, analytic_r = dd.u_sine, None
+    elif args.problem == "wave":
+        # u = sin(x - 2t): IC at t=0, zero residual in the domain
+        import jax.numpy as jnp
+
+        def jnp_sin_wave(X):
+            return jnp.sin(X[:, 1:2] - 2.0 * X[:, 0:1])
+
+        terms = {
+            "res": TermSpec(dd.Sampler(box([[0, 0], [1, 1]]), dd.zero_target), 2.0, cfg.batch_size, "residual"),
+            "ic": TermSpec(dd.Sampler(box([[0, 0], [0, 1]]), jnp_sin_wave), 2.0, max(cfg.batch_size // 3, 1), "value"),
+            "bc": TermSpec(dd.Sampler(box([[0, 0], [1, 0]]), jnp_sin_wave), 4.0, max(cfg.batch_size // 3, 1), "value"),
+        }
+        operator = ops.wave_operator
+        analytic_u, analytic_r = jnp_sin_wave, None
+    elif args.problem == "klein_gordon":
+        import jax.numpy as jnp
+
+        def kg_u(X):
+            return jnp.sin(jnp.pi * X[:, 1:2]) * jnp.cos(jnp.pi * X[:, 0:1])
+
+        terms = {
+            "res": TermSpec(dd.Sampler(box([[0, 0], [1, 1]]), dd.zero_target), 2.0, cfg.batch_size, "residual"),
+            "ic": TermSpec(dd.Sampler(box([[0, 0], [0, 1]]), kg_u), 2.0, max(cfg.batch_size // 3, 1), "value"),
+            "bc": TermSpec(dd.Sampler(box([[0, 0], [1, 0]]), kg_u), 4.0, max(cfg.batch_size // 3, 1), "value"),
+        }
+        operator = ops.klein_gordon_operator
+        analytic_u, analytic_r = kg_u, None
+    elif args.problem == "helmholtz":
+        import jax.numpy as jnp
+
+        def hh_u(X):
+            return jnp.sin(jnp.pi * X[:, 0:1]) * jnp.sin(jnp.pi * X[:, 1:2])
+
+        def hh_forcing(X):
+            return (1.0 - 2.0 * jnp.pi**2) * hh_u(X)
+
+        terms = {
+            "res": TermSpec(dd.Sampler(box([[0, 0], [1, 1]]), hh_forcing), 2.0, cfg.batch_size, "residual"),
+            "bc1": TermSpec(dd.Sampler(box([[0, 0], [1, 0]]), hh_u), 4.0, max(cfg.batch_size // 3, 1), "value"),
+            "bc2": TermSpec(dd.Sampler(box([[0, 0], [0, 1]]), hh_u), 4.0, max(cfg.batch_size // 3, 1), "value"),
+        }
+        operator = ops.helmholtz_operator
+        analytic_u, analytic_r = hh_u, None
+    else:
+        raise ValueError(args.problem)
+
+    mesh = None
+    if args.data_parallel:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+        logger.print(f"data-parallel over mesh {dict(mesh.shape)}")
+
+    params, history = train(model, cfg, terms, operator, logger=logger, mesh=mesh)
+    logger.print(f"trainable parameters: {count_params(params)}")
+
+    # evaluation + artifacts
+    from .utils.checkpoint import save_checkpoint
+
+    ckpt = save_checkpoint(
+        os.path.join(logger.get_output_dir(), "model"),
+        params,
+        loss_history=history,
+        config=cfg.to_dict(),
+        epoch=cfg.epochs,
+    )
+    logger.print(f"checkpoint: {ckpt}")
+
+    if args.problem in ("diffusion", "diffusion_sine"):
+        metrics = evaluate_relative_l2(
+            model.apply, params, analytic_u,
+            analytic_r=analytic_r,
+            operator=operator if analytic_r is not None else None,
+            num=args.eval_grid,
+        )
+        for k, v in metrics.items():
+            logger.print(f"{k}: {v:.4f}")
+        if not args.no_plots:
+            from .utils.plotting import draw_contourf_grid, plot_loss_history
+
+            plot_loss_history(history, logger.get_output_dir())
+            draw_contourf_grid(model.apply, params, analytic_u, logger.get_output_dir())
+            logger.print("plots written")
+    return 0
+
+
+def cmd_cz(args) -> int:
+    import jax
+
+    from .data.cz_loader import DataStats, load_cz_data
+    from .models.czochralski import Hybrid16QPINN
+    from .models.nn_core import count_params
+    from .train.cz_pipeline import CzConfig, run_finetune, run_pretrain
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+    from .utils.logger import Logging
+
+    logger = Logging(args.output_dir, f"cz-{args.phase}")
+
+    if args.quick_check:
+        args.epochs = 2
+        args.n_qubits = min(args.n_qubits, 4)
+        args.n_layers = 1
+        args.batch_size = 4
+        logger.print("quick-check mode: 2 epochs, tiny circuit")
+
+    X, Y, stats = load_cz_data(args.data)
+    logger.print(f"loaded {X.shape[0]} nodes; stats: {stats.to_json()}")
+
+    cfg = CzConfig(
+        n_qubits=args.n_qubits,
+        n_layers=args.n_layers,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        seed=args.seed,
+        re=args.re,
+        pr=args.pr,
+        gr=args.gr,
+        physics_weight=args.physics_weight,
+        physics_warmup=args.physics_warmup,
+        physics_ramp=args.physics_ramp,
+        log_every=args.log_every,
+        finetune_epochs=args.epochs if args.phase == "finetune" else 100,
+        shots=args.shots,
+        calib_size=args.calib_size,
+        train_scope=args.train_scope,
+    )
+    model = Hybrid16QPINN(n_qubits=cfg.n_qubits, n_layers=cfg.n_layers)
+
+    if args.phase == "pretrain":
+        def ckpt_fn(params, epoch, history):
+            save_checkpoint(args.save, params, loss_history=history,
+                            stats=stats.to_dict(), config=vars(args), epoch=epoch)
+
+        params, history = run_pretrain(
+            model, X, Y, stats, cfg, logger=logger,
+            checkpoint_fn=ckpt_fn if args.save_every else None,
+            save_every=args.save_every,
+        )
+        save_checkpoint(args.save, params, loss_history=history,
+                        stats=stats.to_dict(), config=vars(args), epoch=cfg.epochs)
+        logger.print(f"pretrain checkpoint saved to {args.save}.npz (+ stats sidecar)")
+        logger.print(f"trainable parameters: {count_params(params)}")
+    else:
+        if not args.load:
+            raise SystemExit("finetune phase requires --load with the pretrain checkpoint")
+        template = {"params": model.init(jax.random.PRNGKey(0)), "opt_state": None, "sched": None}
+        restored = load_checkpoint(args.load, template)
+        params = restored["bundle"]["params"]
+        if restored["stats"]:
+            stats = DataStats.from_dict(restored["stats"])
+            logger.print("normalization stats restored from checkpoint")
+        params, history = run_finetune(model, params, X, Y, stats, cfg, logger=logger)
+        save_checkpoint(args.save, params, loss_history=history,
+                        stats=stats.to_dict(), config=vars(args), epoch=cfg.finetune_epochs)
+        logger.print(f"finetune checkpoint saved to {args.save}.npz")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "train":
+        return cmd_train(args)
+    if args.command == "cz":
+        return cmd_cz(args)
+    raise SystemExit(f"unknown command {args.command}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,11 +31,14 @@ def evaluate_relative_l2(
 ) -> Dict[str, float]:
     """Relative L2 (%) of u (and optionally of the PDE residual vs analytic
     forcing) on a num^3 grid, mirroring diffusion_hybrid_trainer.py:161-184."""
+    # jit everything: eager (op-by-op) execution is not supported on the
+    # experimental axon TPU platform
+    apply_j = jax.jit(model_apply)
     pts = meshgrid_points(num)
     preds = []
     for i in range(0, len(pts), batch):
         chunk = jnp.asarray(pts[i : i + batch])
-        preds.append(np.asarray(model_apply(params, chunk)))
+        preds.append(np.asarray(apply_j(params, chunk)))
     pred = np.concatenate(preds, axis=0)
     exact = np.asarray(analytic_u(jnp.asarray(pts)))
     out = {
@@ -43,11 +46,13 @@ def evaluate_relative_l2(
         * float(relative_l2(jnp.asarray(pred), jnp.asarray(exact)))
     }
     if analytic_r is not None and operator is not None:
+        res_fn = jax.jit(
+            lambda p, X: operator(lambda Xp: model_apply(p, Xp), X)[1]
+        )
         res_chunks = []
         for i in range(0, len(pts), batch):
             chunk = jnp.asarray(pts[i : i + batch])
-            _, res = operator(lambda X: model_apply(params, X), chunk)
-            res_chunks.append(np.asarray(res))
+            res_chunks.append(np.asarray(res_fn(params, chunk)))
         res = np.concatenate(res_chunks, axis=0)
         exact_r = np.asarray(analytic_r(jnp.asarray(pts)))
         out["rel_l2_r_percent"] = 100.0 * float(
@@ -67,6 +72,6 @@ def mse_at_time_slice(
     g = np.linspace(0.0, 1.0, num, dtype=np.float32)
     X, Y = np.meshgrid(g, g, indexing="ij")
     pts = np.stack([np.full(X.size, t, np.float32), X.ravel(), Y.ravel()], axis=1)
-    pred = np.asarray(model_apply(params, jnp.asarray(pts)))
+    pred = np.asarray(jax.jit(model_apply)(params, jnp.asarray(pts)))
     exact = np.asarray(analytic_u(jnp.asarray(pts)))
     return float(np.mean((pred - exact) ** 2))

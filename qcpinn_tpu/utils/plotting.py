@@ -44,8 +44,10 @@ def draw_contourf_grid(
 ) -> str:
     """3-row grid per timestep: prediction / exact / |error|, shared row
     scales (ContourPlotter.draw_contourf_regular_2D semantics)."""
+    import jax
     import jax.numpy as jnp
 
+    model_apply = jax.jit(model_apply)  # axon TPU has no eager mode
     plt = _mpl()
     g = np.linspace(0.0, 1.0, num, dtype=np.float32)
     X, Y = np.meshgrid(g, g, indexing="ij")
