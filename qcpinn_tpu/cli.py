@@ -88,7 +88,7 @@ def cmd_train(args) -> int:
     from .models import ClassicalSolver, DVSolver
     from .models.cv_solver import CVSolver
     from .models.nn_core import count_params
-    from .physics import operators as ops
+    from .physics import get_operator
     from .train import TermSpec, train
     from .utils.logger import Logging
     from .utils.evaluation import evaluate_relative_l2
@@ -121,6 +121,9 @@ def cmd_train(args) -> int:
     logger.dump_config(cfg)
 
     model = {"DV": DVSolver, "CV": CVSolver, "Classical": ClassicalSolver}[cfg.solver](cfg)
+    # forward-mode residuals for point-decoupled models; the Hopfield
+    # baseline couples the batch and needs torch-equivalent reverse mode
+    op_mode = "rev" if cfg.solver == "Classical" else "fwd"
 
     # problem setup: samplers + operator + analytic oracle
     box = dd._box
@@ -129,8 +132,8 @@ def cmd_train(args) -> int:
         from .train import diffusion_terms
 
         terms = diffusion_terms(samplers, cfg.batch_size, cfg.loss_weights)
-        operator = ops.diffusion_operator
-        analytic_u, analytic_r = dd.u, dd.r
+        operator = get_operator("diffusion", op_mode)
+        analytic_u, analytic_r = dd.u, dd.r_true
     elif args.problem == "diffusion_sine":
         s = dd.sine_samplers()
         third = max(cfg.batch_size // 3, 1)
@@ -143,7 +146,8 @@ def cmd_train(args) -> int:
                 for i in range(1, 5)
             },
         }
-        operator = lambda apply, X: ops.diffusion_operator(apply, X, v_x=0.0, v_y=0.0)
+        base_op = get_operator("diffusion", op_mode)
+        operator = lambda apply, X: base_op(apply, X, v_x=0.0, v_y=0.0)
         analytic_u, analytic_r = dd.u_sine, None
     elif args.problem == "wave":
         # u = sin(x - 2t): IC at t=0, zero residual in the domain
@@ -157,7 +161,7 @@ def cmd_train(args) -> int:
             "ic": TermSpec(dd.Sampler(box([[0, 0], [0, 1]]), jnp_sin_wave), 2.0, max(cfg.batch_size // 3, 1), "value"),
             "bc": TermSpec(dd.Sampler(box([[0, 0], [1, 0]]), jnp_sin_wave), 4.0, max(cfg.batch_size // 3, 1), "value"),
         }
-        operator = ops.wave_operator
+        operator = get_operator("wave", op_mode)
         analytic_u, analytic_r = jnp_sin_wave, None
     elif args.problem == "klein_gordon":
         import jax.numpy as jnp
@@ -170,7 +174,7 @@ def cmd_train(args) -> int:
             "ic": TermSpec(dd.Sampler(box([[0, 0], [0, 1]]), kg_u), 2.0, max(cfg.batch_size // 3, 1), "value"),
             "bc": TermSpec(dd.Sampler(box([[0, 0], [1, 0]]), kg_u), 4.0, max(cfg.batch_size // 3, 1), "value"),
         }
-        operator = ops.klein_gordon_operator
+        operator = get_operator("klein_gordon", op_mode)
         analytic_u, analytic_r = kg_u, None
     elif args.problem == "helmholtz":
         import jax.numpy as jnp
@@ -186,7 +190,7 @@ def cmd_train(args) -> int:
             "bc1": TermSpec(dd.Sampler(box([[0, 0], [1, 0]]), hh_u), 4.0, max(cfg.batch_size // 3, 1), "value"),
             "bc2": TermSpec(dd.Sampler(box([[0, 0], [0, 1]]), hh_u), 4.0, max(cfg.batch_size // 3, 1), "value"),
         }
-        operator = ops.helmholtz_operator
+        operator = get_operator("helmholtz", op_mode)
         analytic_u, analytic_r = hh_u, None
     else:
         raise ValueError(args.problem)

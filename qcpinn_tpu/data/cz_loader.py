@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from typing import Tuple
 
 import numpy as np
@@ -43,24 +44,93 @@ class DataStats:
         return cls(**{k: float(v) for k, v in d.items() if k in fields})
 
 
-def load_cz_data(file_path: str) -> Tuple[np.ndarray, np.ndarray, DataStats]:
-    """Returns (X [N,2] = (r,z), Y [N,5] = (u_r, u_z, u_theta, p, T),
-    stats) — all nondimensionalized, float32."""
-    rows = []
+def _find_native() -> "ctypes.CDLL | None":
+    import ctypes
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", "libqcpinn_native.so"),
+        "libqcpinn_native.so",
+    ):
+        try:
+            lib = ctypes.CDLL(cand)
+        except OSError:
+            continue
+        lib.qcpinn_table_dims.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.qcpinn_table_dims.restype = ctypes.c_int
+        lib.qcpinn_table_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.qcpinn_table_read.restype = ctypes.c_int64
+        return lib
+    return None
+
+
+_NATIVE = None
+_NATIVE_CHECKED = False
+
+
+def _native_lib():
+    global _NATIVE, _NATIVE_CHECKED
+    if not _NATIVE_CHECKED:
+        _NATIVE = _find_native()
+        _NATIVE_CHECKED = True
+    return _NATIVE
+
+
+def read_table(file_path: str) -> np.ndarray:
+    """Parse a whitespace/comma numeric table with '%'/'#' comment lines.
+    Uses the C++ mmap parser (native/loader.cc) when built, falling back to
+    pure Python. Rows with a deviating column count are skipped."""
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        rows = ctypes.c_int64()
+        cols = ctypes.c_int64()
+        rc = lib.qcpinn_table_dims(
+            file_path.encode(), ctypes.byref(rows), ctypes.byref(cols)
+        )
+        if rc == 0 and rows.value > 0 and cols.value > 0:
+            out = np.empty((rows.value, cols.value), dtype=np.float64)
+            got = lib.qcpinn_table_read(
+                file_path.encode(),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                rows.value,
+                cols.value,
+            )
+            if got == rows.value:
+                return out
+        # fall through to Python on any native hiccup
+
+    rows_py = []
     with open(file_path) as f:
         for line in f:
             line = line.strip()
-            if not line or line.startswith("%"):
+            if not line or line.startswith("%") or line.startswith("#"):
                 continue
             parts = line.replace(",", " ").split()
             try:
-                rows.append([float(p) for p in parts])
+                rows_py.append([float(p) for p in parts])
             except ValueError:
                 continue  # header row of a CSV variant
-    if not rows:
+    if not rows_py:
         raise ValueError(f"no numeric rows parsed from {file_path}")
-    width = max(len(r) for r in rows)
-    data = np.asarray([r for r in rows if len(r) == width], dtype=np.float64)
+    width = max(len(r) for r in rows_py)
+    return np.asarray([r for r in rows_py if len(r) == width], dtype=np.float64)
+
+
+def load_cz_data(file_path: str) -> Tuple[np.ndarray, np.ndarray, DataStats]:
+    """Returns (X [N,2] = (r,z), Y [N,5] = (u_r, u_z, u_theta, p, T),
+    stats) — all nondimensionalized, float32."""
+    data = read_table(file_path)
 
     if data.shape[1] >= 9:
         frame = data[:, [0, 1, 4, 5, 6, 7, 8]]

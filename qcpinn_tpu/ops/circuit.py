@@ -47,6 +47,7 @@ class DVCircuit:
         seed: Optional[int] = None,
         use_scan: Optional[bool] = None,
         fuse: bool = True,
+        remat: bool = False,
     ):
         self.n = num_qubits
         self.layers = num_quantum_layers
@@ -76,6 +77,12 @@ class DVCircuit:
         # lax.scan over layers keeps the traced graph O(1) in depth; unroll
         # for a single layer (nothing to scan) keeps XLA's fusion window big.
         self.use_scan = (self.layers > 1) if use_scan is None else use_scan
+        # jax.checkpoint on the state evolution. Off by default: measured
+        # SLOWER on v5e at B<=1024 (237 vs 170 ms/step) and the remote
+        # compiler failed on remat+scan at large B. Kept as an opt-in for
+        # memory-constrained reverse-mode workloads; the forward-mode
+        # operators (physics/operators_fwd.py) are the preferred fix.
+        self.remat = remat
 
     # -- parameters ---------------------------------------------------------
 
@@ -114,6 +121,9 @@ class DVCircuit:
         return prog.apply_program(state, self.n, self.epilogue, jnp.zeros((0,)))
 
     def state(self, params: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        if self.remat:
+            fn = jax.checkpoint(lambda p, xx: self.evolve(p, self.prepare(xx)))
+            return fn(params, x)
         return self.evolve(params, self.prepare(x))
 
     def apply(

@@ -95,12 +95,18 @@ def apply_program(
             om = params[..., op.pidx[2]]
             state = sv.apply_1q(state, n, op.wires[0], gates.rot(phi, th, om))
         elif k in PARAM_2Q:
+            # controlled rotations via the elementwise masked-flip path
             theta = params[..., op.pidx[0]]
-            state = sv.apply_2q(
-                state, n, op.wires[0], op.wires[1], _PARAM_2Q_FNS[k](theta)
+            base = {"crx": gates.rx, "cry": gates.ry, "crz": gates.rz}[k]
+            state = sv.apply_ctrl_1q(
+                state, n, op.wires[0], op.wires[1], base(theta)
             )
         elif k in FIXED_1Q:
             state = sv.apply_1q(state, n, op.wires[0], jnp.asarray(_FIXED_1Q_MATS[k]))
+        elif k == "cnot":
+            state = sv.apply_ctrl_1q(
+                state, n, op.wires[0], op.wires[1], jnp.asarray(gates.X)
+            )
         elif k in FIXED_2Q:
             state = sv.apply_2q(
                 state, n, op.wires[0], op.wires[1], jnp.asarray(_FIXED_2Q_MATS[k])

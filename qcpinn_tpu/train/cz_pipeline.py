@@ -36,6 +36,7 @@ import optax
 from ..data.cz_loader import DataStats, choose_calibration_subset
 from ..models.czochralski import Hybrid16QPINN
 from ..physics.cylindrical import cz_residuals
+from ..physics.operators_fwd import cz_residuals_fwd
 
 PHYS_KEYS = ("cont", "mom_r", "mom_z", "swirl", "energy")
 
@@ -62,6 +63,9 @@ class CzConfig:
     shots: Optional[int] = 4096
     calib_size: int = 8
     train_scope: str = "head"  # head | full
+    # 'fwd' = forward-mode residuals (fast; the Cz model is point-decoupled);
+    # 'rev' = torch-equivalent reverse mode
+    physics_mode: str = "fwd"
 
 
 def _cosine_lr(base_lr: float, epoch: jnp.ndarray, t_max: int) -> jnp.ndarray:
@@ -88,10 +92,12 @@ def make_pretrain_epoch(
         optax.scale(-1.0),  # lr injected per epoch below
     )
 
+    residual_fn = cz_residuals if cfg.physics_mode == "rev" else cz_residuals_fwd
+
     def batch_loss(params, xb, yb, ema, phys_w):
         pred = model.apply(params, xb)
         data_loss = jnp.mean((pred - yb) ** 2)
-        phys_total, phys_terms = cz_residuals(
+        phys_total, phys_terms = residual_fn(
             lambda Xp: model.apply(params, Xp),
             xb,
             stats.pressure_coeff,
