@@ -1,0 +1,124 @@
+"""North-star run: 16-qubit cross_mesh QCPINN on convection-diffusion,
+targeting <1e-3 relative L2 within a wall-clock budget (BASELINE.json).
+
+Trains against the *consistent* forcing r_true (the residual of the analytic
+solution — see data/diffusion.py for the reference's +400*D*u forcing
+defect, which makes <1e-3 unreachable by construction if reproduced).
+
+Usage:
+  python examples/north_star.py --qubits 16 --ansatz cross_mesh --minutes 4.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--qubits", type=int, default=16)
+    ap.add_argument("--ansatz", default="cross_mesh")
+    ap.add_argument("--layers", type=int, default=1)
+    ap.add_argument("--minutes", type=float, default=4.5)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--hidden", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--chunk", type=int, default=100)
+    ap.add_argument("--total-steps", type=int, default=20000,
+                    help="cosine horizon; training stops at --minutes")
+    ap.add_argument("--plain", action="store_true", help="use the plain DVSolver")
+    args = ap.parse_args()
+
+    from qcpinn_tpu.config import QCPINNConfig
+    from qcpinn_tpu.data import diffusion as dd
+    from qcpinn_tpu.models import DVSolver
+    from qcpinn_tpu.models.dv_fourier import DVFourierSolver
+    from qcpinn_tpu.physics.operators_fwd import diffusion_operator_fwd
+    from qcpinn_tpu.train import TermSpec, make_train_step
+    from qcpinn_tpu.train import optim as topt
+    from qcpinn_tpu.utils.evaluation import evaluate_relative_l2
+
+    cfg = QCPINNConfig(
+        num_qubits=args.qubits,
+        num_quantum_layers=args.layers,
+        q_ansatz=args.ansatz,
+        classic_network=(3, args.hidden, 1),
+        batch_size=args.batch,
+        lr=args.lr,
+        seed=args.seed,
+        scheduler="cosine",
+        epochs=args.total_steps,
+    )
+    model = (DVSolver if args.plain else DVFourierSolver)(cfg)
+    params = model.init(jax.random.PRNGKey(cfg.seed))
+
+    box = dd._box
+    third = max(args.batch // 3, 1)
+    res_sampler = dd.Sampler(box([[0, 0, 0], [1, 1, 1]]), dd.r_true, "res")
+    terms = {
+        "res": TermSpec(res_sampler, 1.0, args.batch, "residual"),
+        "ic": TermSpec(dd.Sampler(box([[0, 0, 0], [0, 1, 1]]), dd.u), 10.0, third, "value"),
+        "bcx0": TermSpec(dd.Sampler(box([[0, 0, 0], [1, 0, 1]]), dd.u), 10.0, third, "value"),
+        "bcx1": TermSpec(dd.Sampler(box([[0, 1, 0], [1, 1, 1]]), dd.u), 10.0, third, "value"),
+        "bcy0": TermSpec(dd.Sampler(box([[0, 0, 0], [1, 1, 0]]), dd.u), 10.0, third, "value"),
+        "bcy1": TermSpec(dd.Sampler(box([[0, 0, 1], [1, 1, 1]]), dd.u), 10.0, third, "value"),
+    }
+    optimizer = topt.make_optimizer(
+        cfg.lr, grad_clip=1.0, schedule="cosine", epochs=args.total_steps
+    )
+    opt_state = optimizer.init(params)
+    sched = topt.plateau_init()
+    _, scan_steps = make_train_step(
+        model.apply, diffusion_operator_fwd, terms, optimizer, cfg
+    )
+
+    key = jax.random.PRNGKey(1)
+    # compile outside the budget (the driver's 5-minute target is train time)
+    out = scan_steps(params, opt_state, sched, key, 0, args.chunk)
+    float(jax.device_get(out[3]["loss"])[-1])
+    params, opt_state, sched = out[0], out[1], out[2]
+    done = args.chunk
+
+    t0 = time.time()
+    budget = args.minutes * 60.0
+    losses = []
+    while time.time() - t0 < budget and done < args.total_steps:
+        out = scan_steps(params, opt_state, sched, key, done, args.chunk)
+        loss = float(jax.device_get(out[3]["loss"])[-1])
+        params, opt_state, sched = out[0], out[1], out[2]
+        done += args.chunk
+        losses.append(loss)
+        if len(losses) % 5 == 0:
+            el = time.time() - t0
+            print(f"step {done}: loss={loss:.3e} elapsed={el:.0f}s", flush=True)
+    train_time = time.time() - t0
+
+    metrics = evaluate_relative_l2(
+        model.apply, params, dd.u, analytic_r=dd.r_true,
+        operator=diffusion_operator_fwd, num=20,
+    )
+    result = {
+        "qubits": args.qubits,
+        "ansatz": args.ansatz,
+        "steps": done,
+        "train_seconds": round(train_time, 1),
+        "final_loss": losses[-1] if losses else None,
+        "rel_l2_u": metrics["rel_l2_u_percent"] / 100.0,
+        "rel_l2_r": metrics.get("rel_l2_r_percent", None),
+        "points_per_sec": round(done * args.batch / train_time, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

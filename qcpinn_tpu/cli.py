@@ -125,6 +125,13 @@ def cmd_train(args) -> int:
     # baseline couples the batch and needs torch-equivalent reverse mode
     op_mode = "rev" if cfg.solver == "Classical" else "fwd"
 
+    if cfg.solver == "DV":
+        # circuit diagram into the run dir (nn/DVPDESolver.py:144-158)
+        from .utils.drawing import draw_circuit
+
+        draw_circuit(model.circuit, logger.get_output_dir())
+        logger.print("circuit diagram written (circuit.txt / circuit.pdf)")
+
     # problem setup: samplers + operator + analytic oracle
     box = dd._box
     if args.problem == "diffusion":

@@ -156,8 +156,17 @@ def train(
     logger=None,
     mesh: Optional[Mesh] = None,
     checkpoint_fn: Optional[Callable] = None,
+    resume: Optional[dict] = None,
 ) -> Tuple[dict, list]:
-    """Full training driver. Returns (params, loss_history)."""
+    """Full training driver. Returns (params, loss_history).
+
+    ``resume`` restores {params, opt_state, sched, step} from a checkpoint
+    bundle (utils.checkpoint), continuing the PRNG stream from ``step`` —
+    the reference's --start-epoch/--load capability
+    (cg-hqpinn/...:802-804).
+    """
+    import os as _os
+
     key = jax.random.PRNGKey(config.seed)
     k_init, k_train = jax.random.split(key)
     params = model.init(k_init)
@@ -170,6 +179,21 @@ def train(
     )
     opt_state = optimizer.init(params)
     sched = optim.plateau_init()
+    start_step = 0
+    if resume is not None:
+        params = resume["params"]
+        if resume.get("opt_state") is not None:
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state),
+                jax.tree_util.tree_leaves(resume["opt_state"]),
+            )
+        if resume.get("sched") is not None:
+            sched = optim.PlateauState(*jax.tree_util.tree_leaves(resume["sched"]))
+        start_step = int(resume.get("step", 0))
+
+    profile_dir = _os.environ.get("QCPINN_PROFILE_DIR")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
 
     _, scan_steps = make_train_step(
         model.apply, operator, terms, optimizer, config, mesh=mesh
@@ -181,9 +205,9 @@ def train(
 
     loss_history = []
     chunk = max(1, min(config.print_every, config.epochs))
-    done = 0
+    done = start_step
     t0 = time.time()
-    n_chunks = (config.epochs + chunk - 1) // chunk
+    n_chunks = (max(config.epochs - start_step, 0) + chunk - 1) // chunk
     for _ in range(n_chunks):
         n = min(chunk, config.epochs - done)
         params, opt_state, sched, trace = scan_steps(
@@ -205,4 +229,7 @@ def train(
         )
         if checkpoint_fn is not None:
             checkpoint_fn(params, opt_state, done, loss_history)
+    if profile_dir:
+        jax.profiler.stop_trace()
+        log(f"profiler trace written to {profile_dir}")
     return params, loss_history
