@@ -40,6 +40,16 @@ class DVSolver:
         self.noise = None
         if config.noise_depolarizing or config.noise_readout:
             self.noise = NoiseModel(config.noise_depolarizing, config.noise_readout)
+        self._fused = None
+
+    def use_pallas(self, interpret: bool = False) -> "DVSolver":
+        """Switch the quantum block to the Pallas fused-circuit backend
+        (first-order differentiable only — data losses, inference,
+        finetune; keep the XLA path for PDE-residual training)."""
+        from ..ops.pallas_sv import FusedCircuit
+
+        self._fused = FusedCircuit(self.circuit, interpret=interpret)
+        return self
 
     def init(self, key: jax.Array) -> dict:
         k_pre, k_q, k_post = jax.random.split(key, 3)
@@ -59,9 +69,8 @@ class DVSolver:
         detach_quantum: bool = False,
     ) -> jnp.ndarray:
         pre = nc.mlp_apply(params["pre"], x)
-        z = self.circuit.apply(
-            params["q"], pre, shots=shots, key=key, noise=self.noise
-        )
+        qblock = self._fused if self._fused is not None else self.circuit
+        z = qblock.apply(params["q"], pre, shots=shots, key=key, noise=self.noise)
         if detach_quantum:
             # two-phase head tuning (CG_HQPINN_IBMtest_16qubits.py:131-132)
             z = jax.lax.stop_gradient(z)

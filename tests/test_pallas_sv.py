@@ -1,0 +1,84 @@
+"""Pallas fused-circuit kernels in interpreter mode: forward parity against
+the XLA engine and first-order gradient parity via the reverse-sweep VJP."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qcpinn_tpu.ops.circuit import DVCircuit
+from qcpinn_tpu.ops.pallas_sv import FusedCircuit, compile_circuit
+
+
+def _setup(ansatz, n=4, layers=1, seed=None, key=0):
+    circ = DVCircuit(n, layers, ansatz, seed=seed)
+    params = circ.init_params(jax.random.PRNGKey(key))
+    fused = FusedCircuit(circ, interpret=True)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(key + 1), (4, n), minval=-np.pi, maxval=np.pi
+    )
+    return circ, fused, params, x
+
+
+@pytest.mark.parametrize("ansatz", ["cascade", "layered", "farhi", "sim_circ_15", "cross_mesh", "alternate"])
+def test_fused_forward_matches_xla(ansatz):
+    circ, fused, params, x = _setup(ansatz)
+    ref = np.asarray(circ.apply(params, x))
+    got = np.asarray(fused.apply(params, x))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_fused_with_haar_epilogue():
+    circ, fused, params, x = _setup("cascade", seed=11)
+    assert any(s.kind == "u2q" for s in fused.mp.steps)
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(params, x)), np.asarray(circ.apply(params, x)), atol=3e-5
+    )
+
+
+def test_fused_multilayer():
+    circ, fused, params, x = _setup("layered", layers=3)
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(params, x)), np.asarray(circ.apply(params, x)), atol=5e-5
+    )
+
+
+@pytest.mark.parametrize("ansatz", ["cascade", "cross_mesh", "layered"])
+def test_fused_param_gradients_match(ansatz):
+    circ, fused, params, x = _setup(ansatz, seed=5)
+
+    def loss_f(p, c):
+        return jnp.sum(c.apply(p, x) ** 2)
+
+    g_ref = jax.grad(loss_f)(params, circ)
+    g_fused = jax.grad(loss_f)(params, fused)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=2e-4)
+
+
+def test_fused_input_gradients_match():
+    circ, fused, params, x = _setup("cross_mesh")
+
+    def loss_x(xx, c):
+        return jnp.sum(c.apply(params, xx) ** 2)
+
+    g_ref = jax.grad(loss_x)(x, circ)
+    g_fused = jax.grad(loss_x)(x, fused)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=2e-4)
+
+
+def test_micro_program_structure():
+    circ = DVCircuit(4, 1, "cross_mesh")
+    mp = compile_circuit(circ)
+    kinds = [s.kind for s in mp.steps]
+    # 4 encode RX + 4 RX + 1 diag(rz+crz) + 4 RX + 1 diag(rz) + 1 H
+    assert kinds.count("diag") == 2
+    assert kinds.count("1q") == 4 + 4 + 4 + 1
+    assert mp.num_phases == 2
+
+
+def test_fused_shots_mode():
+    circ, fused, params, x = _setup("cascade")
+    z = fused.apply(params, x, shots=512, key=jax.random.PRNGKey(3))
+    exact = fused.apply(params, x)
+    assert np.all(np.abs(np.asarray(z)) <= 1.0 + 1e-6)
+    assert float(jnp.mean(jnp.abs(z - exact))) < 0.2
