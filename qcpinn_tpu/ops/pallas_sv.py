@@ -380,14 +380,19 @@ def _backward_kernel(mp: MicroProgram):
 
 
 def _tile(b: int, d: int) -> int:
-    # Mosaic keeps many step temporaries live across the unrolled program;
-    # measured: [128, 4096] tiles blew the 16MB scoped-vmem stack (44.7MB).
-    # Keep TB*D at 32K f32 elements (128KB/buffer).
-    budget = 1 << 15
+    # Mosaic keeps ~11 [TB, D] f32 temporaries live across the unrolled
+    # program plus double buffering; v5e has 128MB VMEM, and the kernels
+    # raise the scoped-vmem limit to 100MB, so [64, 4096]-class tiles fit
+    # (measured: [128, 4096] needed 44.7MB against the default 16MB limit;
+    # [8, 4096] worked but 128 grid programs cost ~4ms of overhead).
+    budget = 1 << 18
     tb = max(1, budget // d)
     while b % tb:
         tb -= 1
     return tb
+
+
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 _KERNEL_CACHE: dict = {}
@@ -429,6 +434,7 @@ def _build_kernels(mp: MicroProgram, b: int, interpret: bool):
             jax.ShapeDtypeStruct((b, d), jnp.float32),
             jax.ShapeDtypeStruct((b, d), jnp.float32),
         ],
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
     )
 
@@ -462,6 +468,7 @@ def _build_kernels(mp: MicroProgram, b: int, interpret: bool):
             jax.ShapeDtypeStruct((p, d), jnp.float32),
             jax.ShapeDtypeStruct((p, d), jnp.float32),
         ],
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
     )
     return fwd, bwd
