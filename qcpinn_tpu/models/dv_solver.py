@@ -45,10 +45,20 @@ class DVSolver:
     def use_pallas(self, interpret: bool = False) -> "DVSolver":
         """Switch the quantum block to the Pallas fused-circuit backend
         (first-order differentiable only — data losses, inference,
-        finetune; keep the XLA path for PDE-residual training)."""
+        finetune; keep the XLA path for PDE-residual training).
+
+        Degrades gracefully (the reference's device-fallback-ladder analog,
+        nn/DVQuantumLayer.py:100-131): if the fused backend can't be built
+        for this circuit, the XLA path stays active."""
         from ..ops.pallas_sv import FusedCircuit
 
-        self._fused = FusedCircuit(self.circuit, interpret=interpret)
+        try:
+            self._fused = FusedCircuit(self.circuit, interpret=interpret)
+        except Exception as e:  # noqa: BLE001 - fallback is the feature
+            import warnings
+
+            warnings.warn(f"pallas backend unavailable ({e}); using XLA path")
+            self._fused = None
         return self
 
     def init(self, key: jax.Array) -> dict:

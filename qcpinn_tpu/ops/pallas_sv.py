@@ -380,12 +380,13 @@ def _backward_kernel(mp: MicroProgram):
 
 
 def _tile(b: int, d: int) -> int:
-    # Mosaic keeps ~11 [TB, D] f32 temporaries live across the unrolled
-    # program plus double buffering; v5e has 128MB VMEM, and the kernels
-    # raise the scoped-vmem limit to 100MB, so [64, 4096]-class tiles fit
-    # (measured: [128, 4096] needed 44.7MB against the default 16MB limit;
-    # [8, 4096] worked but 128 grid programs cost ~4ms of overhead).
-    budget = 1 << 18
+    # Tile sweep at n=12, B=1024 on v5e (runtime ~identical, compile is not):
+    #   [8, 4096]:  compile 9s fwd / 28s grad;   4.6 ms fwd / 12.9 ms grad
+    #   [64, 4096]: compile 146s fwd / 1413s(!); 5.0 ms fwd / 11.6 ms grad
+    # Mosaic compile time explodes with tile size on long unrolled programs;
+    # stay small. The kernel's value is the O(1)-memory reverse sweep (XLA
+    # stores a state-sized intermediate per gate), not raw single-batch speed.
+    budget = 1 << 15
     tb = max(1, budget // d)
     while b % tb:
         tb -= 1
