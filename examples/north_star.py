@@ -106,6 +106,7 @@ def main():
     metrics = evaluate_relative_l2(
         model.apply, params, dd.u, analytic_r=dd.r_true,
         operator=diffusion_operator_fwd, num=20,
+        batch=min(4096, 8 * args.batch),  # residual eval is memory-heavy at 16q
     )
     result = {
         "qubits": args.qubits,
