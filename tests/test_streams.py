@@ -1,0 +1,61 @@
+"""Tangent-stream residuals must match nested-autodiff residuals exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qcpinn_tpu.config import QCPINNConfig
+from qcpinn_tpu.models import DVSolver
+from qcpinn_tpu.models.dv_fourier import DVFourierSolver
+from qcpinn_tpu.physics.operators_fwd import diffusion_operator_fwd
+from qcpinn_tpu.physics.streams import dv_diffusion_residual_streams
+
+
+@pytest.mark.parametrize("kind", ["plain", "fourier"])
+@pytest.mark.parametrize("ansatz", ["cascade", "cross_mesh"])
+def test_streams_match_autodiff(rng, kind, ansatz):
+    cfg = QCPINNConfig(
+        num_qubits=3, classic_network=(3, 10, 1), q_ansatz=ansatz, seed=3
+    )
+    model = DVSolver(cfg) if kind == "plain" else DVFourierSolver(cfg, mapping_size=4)
+    params = model.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(rng.uniform(0.1, 0.9, (8, 3)).astype(np.float32))
+
+    u_ref, r_ref = diffusion_operator_fwd(lambda Xp: model.apply(params, Xp), X)
+    u_st, r_st = dv_diffusion_residual_streams(model, params, X)
+    np.testing.assert_allclose(np.asarray(u_st), np.asarray(u_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_st), np.asarray(r_ref), rtol=5e-3, atol=5e-4)
+
+
+def test_streams_gradients(rng):
+    cfg = QCPINNConfig(num_qubits=3, classic_network=(3, 8, 1), q_ansatz="cascade")
+    model = DVSolver(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(rng.uniform(0.1, 0.9, (6, 3)).astype(np.float32))
+
+    def loss_stream(p):
+        _, r = dv_diffusion_residual_streams(model, p, X)
+        return jnp.mean(r**2)
+
+    def loss_ref(p):
+        _, r = diffusion_operator_fwd(lambda Xp: model.apply(p, Xp), X)
+        return jnp.mean(r**2)
+
+    g1 = jax.grad(loss_stream)(params)
+    g2 = jax.grad(loss_ref)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-4)
+
+
+def test_streams_multilayer_with_haar(rng):
+    cfg = QCPINNConfig(
+        num_qubits=4, num_quantum_layers=2, classic_network=(3, 8, 1),
+        q_ansatz="layered", seed=7,
+    )
+    model = DVSolver(cfg)
+    params = model.init(jax.random.PRNGKey(1))
+    X = jnp.asarray(rng.uniform(0.1, 0.9, (5, 3)).astype(np.float32))
+    _, r_ref = diffusion_operator_fwd(lambda Xp: model.apply(params, Xp), X)
+    _, r_st = dv_diffusion_residual_streams(model, params, X)
+    np.testing.assert_allclose(np.asarray(r_st), np.asarray(r_ref), rtol=5e-3, atol=5e-4)
