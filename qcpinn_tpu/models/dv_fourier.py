@@ -52,6 +52,22 @@ class DVFourierSolver:
             seed=config.seed,
         )
 
+        self._fused = None
+
+    def use_pallas(self, interpret: bool = False) -> "DVFourierSolver":
+        """Pallas fused-circuit backend for first-order paths (see
+        DVSolver.use_pallas); the tangent-stream residual composes with it."""
+        from ..ops.pallas_sv import FusedCircuit
+
+        try:
+            self._fused = FusedCircuit(self.circuit, interpret=interpret)
+        except Exception as e:  # noqa: BLE001
+            import warnings
+
+            warnings.warn(f"pallas backend unavailable ({e}); using XLA path")
+            self._fused = None
+        return self
+
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 5)
         feat = self.in_dim + 2 * self.mapping
@@ -83,7 +99,8 @@ class DVFourierSolver:
         for layer in trunk:
             h = jnp.tanh(nc.linear_apply(layer, h))
         angles = jnp.pi * jnp.tanh(nc.linear_apply(head, h))
-        z = self.circuit.apply(params["q"], angles, shots=shots, key=key)
+        qblock = self._fused if self._fused is not None else self.circuit
+        z = qblock.apply(params["q"], angles, shots=shots, key=key)
         if detach_quantum:
             z = jax.lax.stop_gradient(z)
         skip = jnp.tanh(nc.linear_apply(params["skip"][0], h))

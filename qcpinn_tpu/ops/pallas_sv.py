@@ -70,15 +70,21 @@ class MicroProgram:
     u4s: Tuple[np.ndarray, ...]  # fixed (non-trainable) 4x4 unitaries
 
 
-def compile_circuit(circuit: DVCircuit) -> MicroProgram:
-    """Lower a (fused) DVCircuit into a micro-program. The matrix bank
-    layout: [0, n) = encoding RX gates, then ansatz/epilogue 1q + c1q gates
-    in program order, repeated per layer."""
-    if circuit.encoding != "angle":
+def compile_circuit(circuit: DVCircuit, include_encoding: bool = True) -> MicroProgram:
+    """Lower a (fused) DVCircuit into a micro-program. With encoding, the
+    matrix bank layout is [0, n) = encoding RX gates, then ansatz/epilogue
+    1q + c1q gates in program order, repeated per layer. Without encoding
+    the program acts on an arbitrary caller-supplied initial state (the
+    tangent-stream path)."""
+    if include_encoding and circuit.encoding != "angle":
         raise ValueError("pallas backend supports angle encoding")
     n = circuit.n
-    steps: List[Step] = [Step("1q", wire=w, mat=w) for w in range(n)]
-    mat_count = n
+    if include_encoding:
+        steps: List[Step] = [Step("1q", wire=w, mat=w) for w in range(n)]
+        mat_count = n
+    else:
+        steps = []
+        mat_count = 0
     phase_count = 0
     u4s: List[np.ndarray] = []
 
@@ -115,12 +121,16 @@ def compile_circuit(circuit: DVCircuit) -> MicroProgram:
     return MicroProgram(n, tuple(steps), mat_count, phase_count, tuple(u4s))
 
 
-def gather_inputs(circuit: DVCircuit, mp: MicroProgram, params, x):
+def gather_inputs(circuit: DVCircuit, mp: MicroProgram, params, x, batch=None):
     """Build (mats [B,K,2,2] complex split re/im, phases cos/sin [P,D]) from
-    circuit parameters and encoding inputs — traced XLA ops, tiny."""
-    b = x.shape[0]
+    circuit parameters and (optionally) encoding inputs — traced XLA ops,
+    tiny. ``x=None`` builds the no-encoding bank (pass ``batch``)."""
+    b = x.shape[0] if x is not None else batch
     p2 = params.reshape(circuit.layers, circuit.params_per_layer)
-    mats: List[jnp.ndarray] = [gates.rx(x[:, w]) for w in range(circuit.n)]  # [B,2,2]
+    if x is not None:
+        mats: List[jnp.ndarray] = [gates.rx(x[:, w]) for w in range(circuit.n)]
+    else:
+        mats = []
     phases: List[jnp.ndarray] = []
 
     def lower(program, layer_params):
@@ -163,6 +173,8 @@ def gather_inputs(circuit: DVCircuit, mp: MicroProgram, params, x):
         lower(circuit.program, p2[layer])
     lower(circuit.epilogue, jnp.zeros((0,)))
 
+    if not mats:  # pure-diagonal program: pad one identity for block shapes
+        mats = [jnp.broadcast_to(jnp.eye(2, dtype=jnp.complex64), (b, 2, 2))]
     mats_c = jnp.stack(mats, axis=1)  # [B, K, 2, 2] complex
     if phases:
         phi = jnp.stack(phases, axis=0).astype(jnp.float32)  # [P, D]
@@ -413,7 +425,7 @@ def _build_kernels(mp: MicroProgram, b: int, interpret: bool):
     d = 1 << mp.n
     tb = _tile(b, d)
     grid = (b // tb,)
-    k = mp.num_mats
+    k = max(mp.num_mats, 1)
     p = max(mp.num_phases, 1)
 
     fwd = pl.pallas_call(
@@ -523,6 +535,22 @@ class FusedCircuit:
         self.circuit = circuit
         self.mp = compile_circuit(circuit)
         self._fn = make_fused_state_fn(self.mp, interpret)
+        # no-encoding variant for arbitrary initial states (tangent streams)
+        self.mp_evolve = compile_circuit(circuit, include_encoding=False)
+        self._fn_evolve = make_fused_state_fn(self.mp_evolve, interpret)
+
+    def evolve(self, params, state):
+        """Apply ansatz layers + epilogue to an arbitrary complex state
+        [B, 2^n] — drop-in for DVCircuit.evolve with the reverse-sweep VJP
+        (first-order reverse only)."""
+        b = state.shape[0]
+        mre, mim, cos, sin = gather_inputs(
+            self.circuit, self.mp_evolve, params, None, batch=b
+        )
+        xr = jnp.real(state).astype(jnp.float32)
+        xi = jnp.imag(state).astype(jnp.float32)
+        yr, yi = self._fn_evolve(xr, xi, mre, mim, cos, sin)
+        return yr + 1j * yi
 
     def state(self, params, x):
         b = x.shape[0]

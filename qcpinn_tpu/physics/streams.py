@@ -96,6 +96,7 @@ def circuit_z_streams(
     a: Array,
     d1: dict,
     d2: dict,
+    evolve_fn=None,
 ) -> Tuple[Array, dict, dict]:
     """Given angles a [B, n] and their coordinate derivatives
     (d1[col] = da/dcol, d2[col] = d2a/dcol^2), return (z, dz[col], d2z[col])
@@ -124,7 +125,9 @@ def circuit_z_streams(
         streams.append(s2)
 
     stacked = jnp.concatenate(streams, axis=0)  # [K*B, D]
-    evolved = circuit.evolve(q_params, stacked)
+    if evolve_fn is None:
+        evolve_fn = circuit.evolve
+    evolved = evolve_fn(q_params, stacked)
 
     def stream(tag):
         i = index[tag]
@@ -184,7 +187,11 @@ def dv_diffusion_residual_streams(
     a = enc0[:, :n]
     d1 = {"t": enc_t[:, :n], "x": enc_x[:, :n], "y": enc_y[:, :n]}
     d2 = {"x": enc_xx[:, :n], "y": enc_yy[:, :n]}
-    z, dz, d2z = circuit_z_streams(circuit, params["q"], a, d1, d2)
+    # the Pallas reverse-sweep backend composes here: streams only need
+    # first-order reverse through the evolution
+    fused = getattr(model, "_fused", None)
+    evolve_fn = fused.evolve if fused is not None else None
+    z, dz, d2z = circuit_z_streams(circuit, params["q"], a, d1, d2, evolve_fn)
 
     # decoder chain rule via nested jvp over the (z, extra) feature space
     extra0 = enc0[:, n:]

@@ -59,3 +59,31 @@ def test_streams_multilayer_with_haar(rng):
     _, r_ref = diffusion_operator_fwd(lambda Xp: model.apply(params, Xp), X)
     _, r_st = dv_diffusion_residual_streams(model, params, X)
     np.testing.assert_allclose(np.asarray(r_st), np.asarray(r_ref), rtol=5e-3, atol=5e-4)
+
+
+def test_streams_with_pallas_evolve(rng):
+    """streams + Pallas reverse-sweep evolve (interpret mode) == XLA path."""
+    cfg = QCPINNConfig(num_qubits=3, classic_network=(3, 8, 1), q_ansatz="cross_mesh")
+    model = DVSolver(cfg)
+    model.use_pallas(interpret=True)
+    params = model.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(rng.uniform(0.1, 0.9, (4, 3)).astype(np.float32))
+
+    u_p, r_p = dv_diffusion_residual_streams(model, params, X)
+    model._fused = None
+    u_x, r_x = dv_diffusion_residual_streams(model, params, X)
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_x), rtol=5e-3, atol=5e-4)
+
+    # gradients through pallas-evolve streams
+    model.use_pallas(interpret=True)
+
+    def loss(p):
+        _, r = dv_diffusion_residual_streams(model, p, X)
+        return jnp.mean(r**2)
+
+    g = jax.grad(loss)(params)
+    model._fused = None
+    g2 = jax.grad(loss)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=3e-4)
