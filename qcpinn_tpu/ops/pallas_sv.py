@@ -398,11 +398,17 @@ def _tile(b: int, d: int) -> int:
     # Mosaic compile time explodes with tile size on long unrolled programs;
     # stay small. The kernel's value is the O(1)-memory reverse sweep (XLA
     # stores a state-sized intermediate per gate), not raw single-batch speed.
+    # Mosaic needs the sublane dim divisible by 8 — callers pad the batch.
     budget = 1 << 15
-    tb = max(1, budget // d)
+    tb = max(8, budget // d)
     while b % tb:
-        tb -= 1
+        tb -= 8
+    assert tb >= 8 and b % tb == 0, (b, d)
     return tb
+
+
+def _pad8(b: int) -> int:
+    return (b + 7) // 8 * 8
 
 
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -549,8 +555,16 @@ class FusedCircuit:
         )
         xr = jnp.real(state).astype(jnp.float32)
         xi = jnp.imag(state).astype(jnp.float32)
+        xr, xi, mre, mim = self._pad_rows([xr, xi, mre, mim], b)
         yr, yi = self._fn_evolve(xr, xi, mre, mim, cos, sin)
-        return yr + 1j * yi
+        return (yr + 1j * yi)[:b]
+
+    @staticmethod
+    def _pad_rows(arrs, b):
+        bp = _pad8(b)
+        if bp == b:
+            return arrs
+        return [jnp.pad(a, [(0, bp - b)] + [(0, 0)] * (a.ndim - 1)) for a in arrs]
 
     def state(self, params, x):
         b = x.shape[0]
@@ -558,8 +572,9 @@ class FusedCircuit:
         mre, mim, cos, sin = gather_inputs(self.circuit, self.mp, params, x)
         xr = jnp.zeros((b, d), dtype=jnp.float32).at[:, 0].set(1.0)
         xi = jnp.zeros((b, d), dtype=jnp.float32)
+        xr, xi, mre, mim = self._pad_rows([xr, xi, mre, mim], b)
         yr, yi = self._fn(xr, xi, mre, mim, cos, sin)
-        return yr + 1j * yi
+        return (yr + 1j * yi)[:b]
 
     def apply(
         self,
@@ -577,7 +592,10 @@ class FusedCircuit:
         mre, mim, cos, sin = gather_inputs(self.circuit, self.mp, params, x)
         xr = jnp.zeros((b, d), dtype=jnp.float32).at[:, 0].set(1.0)
         xi = jnp.zeros((b, d), dtype=jnp.float32)
+        xr, xi, mre, mim = self._pad_rows([xr, xi, mre, mim], b)
         yr, yi = self._fn(xr, xi, mre, mim, cos, sin)
+        yr = yr[:b]
+        yi = yi[:b]
         probs = yr * yr + yi * yi
         sign = jnp.asarray(sv._z_sign_matrix(self.circuit.n))
         z = jnp.dot(
