@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("train", help="train a PDE solver")
     t.add_argument("--problem", default="diffusion",
-                   choices=["diffusion", "diffusion_sine", "wave", "klein_gordon", "helmholtz"])
+                   choices=["diffusion", "diffusion_sine", "wave", "klein_gordon",
+                            "helmholtz", "navier_stokes"])
     t.add_argument("--solver", default="DV", choices=["DV", "CV", "Classical"])
     t.add_argument("--ansatz", default="cascade",
                    choices=["cascade", "layered", "alternate", "farhi", "sim_circ_15", "cross_mesh"])
@@ -94,11 +95,13 @@ def cmd_train(args) -> int:
     from .utils.evaluation import evaluate_relative_l2
 
     in_dims = {"diffusion": 3, "diffusion_sine": 3, "wave": 2,
-               "klein_gordon": 2, "helmholtz": 2}
+               "klein_gordon": 2, "helmholtz": 2, "navier_stokes": 3}
+    out_dims = {"navier_stokes": 3}  # [u, v, p]
     cfg = QCPINNConfig(
         problem=args.problem,
         solver=args.solver,
-        classic_network=(in_dims[args.problem], args.hidden_dim, 1),
+        classic_network=(in_dims[args.problem], args.hidden_dim,
+                         out_dims.get(args.problem, 1)),
         num_qubits=args.num_qubits,
         num_quantum_layers=args.num_layers,
         q_ansatz=args.ansatz,
@@ -199,6 +202,24 @@ def cmd_train(args) -> int:
         }
         operator = get_operator("helmholtz", op_mode)
         analytic_u, analytic_r = hh_u, None
+    elif args.problem == "navier_stokes":
+        # Taylor-Green vortex oracle (BASELINE.json config #5: CV photonic
+        # solver on NS 2D) — see data/navier_stokes.py
+        from .data import navier_stokes as ns
+
+        s = ns.taylor_green_samplers()
+        third = max(cfg.batch_size // 3, 1)
+        twelfth = max(cfg.batch_size // 12, 1)
+        terms = {
+            "res": TermSpec(s["res"], 2.0, cfg.batch_size, "residual"),
+            "ic": TermSpec(s["ics"], 2.0, third, "value"),
+            **{
+                f"bc{i}": TermSpec(s[f"bc{i}"], 4.0, twelfth, "value")
+                for i in range(1, 5)
+            },
+        }
+        operator = ns.residual_stack(get_operator("navier_stokes", op_mode))
+        analytic_u, analytic_r = ns.uvp, None
     else:
         raise ValueError(args.problem)
 
@@ -224,12 +245,16 @@ def cmd_train(args) -> int:
     )
     logger.print(f"checkpoint: {ckpt}")
 
-    if args.problem in ("diffusion", "diffusion_sine"):
+    if args.problem in ("diffusion", "diffusion_sine", "navier_stokes"):
+        import numpy as _np
+
+        hi = _np.array([1.0, _np.pi, _np.pi]) if args.problem == "navier_stokes" else None
         metrics = evaluate_relative_l2(
             model.apply, params, analytic_u,
             analytic_r=analytic_r,
             operator=operator if analytic_r is not None else None,
             num=args.eval_grid,
+            hi=hi,
         )
         for k, v in metrics.items():
             logger.print(f"{k}: {v:.4f}")
@@ -237,7 +262,8 @@ def cmd_train(args) -> int:
             from .utils.plotting import draw_contourf_grid, plot_loss_history
 
             plot_loss_history(history, logger.get_output_dir())
-            draw_contourf_grid(model.apply, params, analytic_u, logger.get_output_dir())
+            if args.problem != "navier_stokes":  # contour grid is scalar-u
+                draw_contourf_grid(model.apply, params, analytic_u, logger.get_output_dir())
             logger.print("plots written")
     return 0
 

@@ -37,10 +37,11 @@ class QCPINNConfig:
     seed: int = 42
     print_every: int = 500
     grad_clip: Optional[float] = None  # default: 0.1 for CV else 1.0
+    weight_decay: Optional[float] = None  # default: 0.001 for CV else 0.0
     loss_weights: Tuple[float, float, float] = (2.0, 4.0, 2.0)  # (res, bc, ic)
     scheduler: str = "plateau"  # plateau | cosine | none
     plateau_factor: float = 0.9
-    plateau_patience: int = 1000
+    plateau_patience: Optional[int] = None  # default: 800 for CV else 1000
 
     # hardware-fidelity modes (replaces use_ibm_hardware and friends —
     # no cloud dependency; shots/noise are engine modes)
@@ -67,6 +68,22 @@ class QCPINNConfig:
             return self.grad_clip
         # trainer/diffusion_train.py:82-85: 0.1 for CV, 1.0 otherwise
         return 0.1 if self.solver == "CV" else 1.0
+
+    @property
+    def effective_weight_decay(self) -> float:
+        if self.weight_decay is not None:
+            return self.weight_decay
+        # nn/CVPDESolver.py:65-78: Adam(weight_decay=0.001) for the CV
+        # solver classes; plain Adam everywhere else.
+        return 0.001 if self.solver == "CV" else 0.0
+
+    @property
+    def effective_plateau_patience(self) -> int:
+        if self.plateau_patience is not None:
+            return self.plateau_patience
+        # nn/CVPDESolver.py:75-77 (patience=800) vs nn/DVPDESolver.py:61-64
+        # (patience=1000).
+        return 800 if self.solver == "CV" else 1000
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

@@ -189,3 +189,30 @@ def choose_calibration_subset(
     picks = np.round(np.linspace(0, len(order) - 1, subset_size)).astype(np.int64)
     idx = order[picks]
     return X[idx], Y[idx]
+
+
+def infer_boundary_masks(x_phys: np.ndarray, tol: float = 1e-3) -> dict:
+    """Geometry-inferred boundary masks for the axisymmetric (r, z) domain
+    (si_q_pinn_improved.py:219-231): points within ``tol`` of the domain
+    extent on each side, as boolean masks over the node axis.
+
+    - ``axis``:       r == r_min (the symmetry axis r=0 in physical data)
+    - ``outer_wall``: r == r_max (crucible wall)
+    - ``inlet``:      z == z_min
+    - ``outlet``:     z == z_max
+
+    ``x_phys`` is ``[N, >=2]`` with columns (r, z, ...); tolerances are
+    relative to each coordinate's span (floored to avoid zero-span domains).
+    """
+    x_phys = np.asarray(x_phys)
+    r, z = x_phys[:, 0], x_phys[:, 1]
+    r_min, r_max = r.min(), r.max()
+    z_min, z_max = z.min(), z.max()
+    rt = tol * max(r_max - r_min, 1e-12)
+    zt = tol * max(z_max - z_min, 1e-12)
+    return {
+        "axis": np.abs(r - r_min) <= rt,
+        "outer_wall": np.abs(r - r_max) <= rt,
+        "inlet": np.abs(z - z_min) <= zt,
+        "outlet": np.abs(z - z_max) <= zt,
+    }

@@ -8,10 +8,14 @@ nn/ClassicalSolver.py + nn/hopfield_layer.py as pure functions:
   post:     Tanh -> Linear(hidden, out)
 
 The B x B attention couples the batch; PDE operators handle this correctly
-because they use sum-gradient (torch-equivalent) semantics. Under batch
-sharding this layer needs the full batch on each shard — keep the Classical
-solver on replicated batches or use the gathered variant in
-parallel/mesh.py.
+because they use sum-gradient (torch-equivalent) semantics. Batch sharding
+via ``with_sharding_constraint`` (the train-loop path, parallel/mesh.py
+batch_sharding) keeps GLOBAL attention semantics: GSPMD sees the full
+[B, h] operands and inserts the all-gather for the B x B score matrix
+itself — verified against the single-device forward in
+tests/test_parallel.py::test_hopfield_sharded_matches_single_device. Only a
+manual ``shard_map`` over the batch would silently localize the softmax;
+none of the library's paths does that to this solver.
 """
 
 from __future__ import annotations

@@ -216,9 +216,9 @@ def dv_diffusion_residual_streams(
         def inner(f):
             return jax.jvp(head, (f,), (gcol,))
 
+        # jvp of `inner` at f0 with tangent g yields (J g, H[g, g]); the
+        # chain rule's remaining first-order term J h is a separate jvp.
         (uu, du), (_, curv) = jax.jvp(inner, (f0,), (gcol,))
-        # d2u = H[g, g] + J h ; curv = H[g, g] + ... wait: jvp of inner wrt f
-        # with tangent g gives (J g, H[g, g]); J h comes separately
         _, jh = jax.jvp(head, (f0,), (hcol,))
         return du, curv + jh
 

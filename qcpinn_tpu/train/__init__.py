@@ -1,5 +1,5 @@
 from . import losses, optim
-from .loop import TermSpec, diffusion_terms, make_train_step, train
+from .loop import TermSpec, diffusion_terms, make_train_step, make_val_fn, train
 
 __all__ = [
     "losses",
@@ -7,5 +7,6 @@ __all__ = [
     "TermSpec",
     "diffusion_terms",
     "make_train_step",
+    "make_val_fn",
     "train",
 ]

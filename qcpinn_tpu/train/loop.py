@@ -127,7 +127,7 @@ def make_train_step(
                 sched,
                 loss,
                 factor=config.plateau_factor,
-                patience=config.plateau_patience,
+                patience=config.effective_plateau_patience,
             )
         metrics = dict(per_term)
         metrics["loss"] = loss
@@ -148,6 +148,17 @@ def make_train_step(
     return step_fn, scan_steps
 
 
+def make_val_fn(model_apply: Callable, X_val, y_val) -> Callable:
+    """Jitted validation MSE on a fixed set, for best-val tracking."""
+
+    @jax.jit
+    def val_fn(params):
+        pred = model_apply(params, X_val)
+        return jnp.mean((pred - y_val) ** 2)
+
+    return val_fn
+
+
 def train(
     model,
     config: QCPINNConfig,
@@ -157,6 +168,7 @@ def train(
     mesh: Optional[Mesh] = None,
     checkpoint_fn: Optional[Callable] = None,
     resume: Optional[dict] = None,
+    val_fn: Optional[Callable] = None,
 ) -> Tuple[dict, list]:
     """Full training driver. Returns (params, loss_history).
 
@@ -164,6 +176,11 @@ def train(
     bundle (utils.checkpoint), continuing the PRNG stream from ``step`` —
     the reference's --start-epoch/--load capability
     (cg-hqpinn/...:802-804).
+
+    ``val_fn(params) -> scalar`` enables best-validation tracking
+    (si_q_pinn_improved.py:608-624): it is evaluated at every logging chunk,
+    the params with the lowest value seen are kept, and those — not the
+    final ones — are returned. Build one with ``make_val_fn``.
     """
     import os as _os
 
@@ -176,6 +193,7 @@ def train(
         grad_clip=config.effective_grad_clip,
         schedule=config.scheduler,
         epochs=config.epochs,
+        weight_decay=config.effective_weight_decay,
     )
     opt_state = optimizer.init(params)
     sched = optim.plateau_init()
@@ -204,6 +222,8 @@ def train(
             logger.print(msg)
 
     loss_history = []
+    best_val = float("inf")
+    best_params = None
     chunk = max(1, min(config.print_every, config.epochs))
     done = start_step
     t0 = time.time()
@@ -222,14 +242,25 @@ def train(
             f"{name}: {float(trace[name][-1]):.2e}"
             for name in terms
         )
+        val_str = ""
+        if val_fn is not None:
+            v = float(jax.device_get(val_fn(params)))
+            if v < best_val:
+                best_val, best_params = v, params
+                val_str = f" | val: {v:.2e} (best)"
+            else:
+                val_str = f" | val: {v:.2e} (best {best_val:.2e})"
         log(
             f"Epoch: {done}/{config.epochs} | Loss: {loss_history[-1]:.2e} | "
-            f"{term_str} | lr_scale: {float(trace['lr_scale'][-1]):.2e} | "
-            f"Total: {elapsed:.1f}s | ETA: {eta:.1f}s"
+            f"{term_str} | lr_scale: {float(trace['lr_scale'][-1]):.2e}"
+            f"{val_str} | Total: {elapsed:.1f}s | ETA: {eta:.1f}s"
         )
         if checkpoint_fn is not None:
             checkpoint_fn(params, opt_state, done, loss_history)
     if profile_dir:
         jax.profiler.stop_trace()
         log(f"profiler trace written to {profile_dir}")
+    if best_params is not None:
+        log(f"restoring best-validation params (val={best_val:.2e})")
+        params = best_params
     return params, loss_history

@@ -57,14 +57,21 @@ def make_optimizer(
     grad_clip: Optional[float] = None,
     schedule: str = "plateau",
     epochs: int = 0,
+    weight_decay: float = 0.0,
 ) -> optax.GradientTransformation:
     """Adam with optional global-norm clipping. For 'cosine' the schedule is
     baked into the transformation; for 'plateau' the caller multiplies the
     update by PlateauState.scale (plateau depends on the loss, which optax
-    schedules cannot see)."""
+    schedules cannot see).
+
+    ``weight_decay`` reproduces torch's *coupled* Adam weight decay (grad +=
+    wd * param before the moment updates, not AdamW) — the reference's CV
+    solver setting ``weight_decay=0.001`` (nn/CVPDESolver.py:73-75)."""
     parts = []
     if grad_clip is not None and grad_clip > 0:
         parts.append(optax.clip_by_global_norm(grad_clip))
+    if weight_decay and weight_decay > 0:
+        parts.append(optax.add_decayed_weights(weight_decay))
     if schedule == "cosine":
         sched = optax.cosine_decay_schedule(lr, decay_steps=max(epochs, 1))
         parts.append(optax.adam(learning_rate=sched))

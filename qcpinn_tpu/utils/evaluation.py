@@ -12,10 +12,14 @@ import numpy as np
 from ..train.losses import relative_l2
 
 
-def meshgrid_points(num: int = 20, dims: int = 3) -> np.ndarray:
-    """Regular grid over the unit hypercube, [num^dims, dims] float32
-    (the reference's 20^3 evaluation grid)."""
-    axes = [np.linspace(0.0, 1.0, num, dtype=np.float32)] * dims
+def meshgrid_points(
+    num: int = 20, dims: int = 3, lo=None, hi=None
+) -> np.ndarray:
+    """Regular grid over [lo, hi] (default unit hypercube), [num^dims, dims]
+    float32 (the reference's 20^3 evaluation grid)."""
+    lo = np.zeros(dims, np.float32) if lo is None else np.asarray(lo, np.float32)
+    hi = np.ones(dims, np.float32) if hi is None else np.asarray(hi, np.float32)
+    axes = [np.linspace(lo[d], hi[d], num, dtype=np.float32) for d in range(dims)]
     grids = np.meshgrid(*axes, indexing="ij")
     return np.stack([g.ravel() for g in grids], axis=1)
 
@@ -28,13 +32,15 @@ def evaluate_relative_l2(
     operator: Optional[Callable] = None,
     num: int = 20,
     batch: int = 4096,
+    lo=None,
+    hi=None,
 ) -> Dict[str, float]:
     """Relative L2 (%) of u (and optionally of the PDE residual vs analytic
     forcing) on a num^3 grid, mirroring diffusion_hybrid_trainer.py:161-184."""
     # jit everything: eager (op-by-op) execution is not supported on the
     # experimental axon TPU platform
     apply_j = jax.jit(model_apply)
-    pts = meshgrid_points(num)
+    pts = meshgrid_points(num, lo=lo, hi=hi)
     preds = []
     for i in range(0, len(pts), batch):
         chunk = jnp.asarray(pts[i : i + batch])

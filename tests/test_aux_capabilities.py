@@ -121,3 +121,53 @@ def test_dv_fourier_solver_shapes_and_grads(rng):
     assert float(jnp.max(jnp.abs(g["q"]))) > 0
     # FF matrix is a fixed buffer: gradient must be zero through stop_gradient
     assert float(jnp.max(jnp.abs(g["ff"]["B"]))) == 0.0
+
+
+def test_best_val_params_returned_not_last():
+    """Best-validation checkpointing (si_q_pinn_improved.py:608-624): the
+    params returned by train() are the ones with the lowest validation
+    value, not the final ones."""
+    from qcpinn_tpu.models import DVSolver
+    from qcpinn_tpu.physics import diffusion_operator
+
+    cfg = QCPINNConfig(
+        num_qubits=2,
+        classic_network=(3, 6, 1),
+        epochs=20,
+        batch_size=8,
+        print_every=5,
+        seed=1,
+    )
+    model = DVSolver(cfg)
+    samplers = gaussian_pulse_samplers()
+    terms = diffusion_terms(samplers, cfg.batch_size)
+
+    # scripted validation trace: best at the second of four chunks
+    seq = iter([3.0, 1.0, 7.0, 9.0])
+    snaps = []
+
+    def val_fn(params):
+        snaps.append(jax.device_get(params))
+        return next(seq)
+
+    params, _ = train(model, cfg, terms, diffusion_operator, val_fn=val_fn)
+    assert len(snaps) == 4
+    got = jax.device_get(params)
+    for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(snaps[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and it must differ from the final snapshot (training kept moving)
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(snaps[-1]))
+    ]
+    assert max(diffs) > 0
+
+
+def test_make_val_fn_is_mse():
+    from qcpinn_tpu.train import make_val_fn
+
+    apply = lambda params, X: X * params["w"]
+    X = jnp.ones((4, 1)) * 2.0
+    y = jnp.ones((4, 1)) * 3.0
+    v = make_val_fn(apply, X, y)({"w": jnp.asarray(1.0)})
+    np.testing.assert_allclose(float(v), 1.0, rtol=1e-6)

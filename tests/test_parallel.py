@@ -79,3 +79,28 @@ def test_data_parallel_matches_single_device():
     _, hist_dp = train(model2, cfg, terms, diffusion_operator, mesh=mesh)
 
     np.testing.assert_allclose(hist_single, hist_dp, rtol=1e-4, atol=1e-6)
+
+
+def test_hopfield_sharded_matches_single_device(mesh):
+    """The B x B Hopfield attention couples the batch; under GSPMD batch
+    sharding (with_sharding_constraint, not shard_map) the semantics must
+    stay GLOBAL — XLA gathers K/V to build the full score matrix. Guards the
+    claim in models/classical_solver.py's module docstring."""
+    from qcpinn_tpu.models import ClassicalSolver
+
+    cfg = QCPINNConfig(solver="Classical", classic_network=(3, 16, 1))
+    model = ClassicalSolver(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (32, 3))
+
+    ref = np.asarray(jax.jit(model.apply)(params, x))
+
+    from qcpinn_tpu.parallel.mesh import batch_sharding
+
+    @jax.jit
+    def sharded_apply(params, x):
+        x = jax.lax.with_sharding_constraint(x, batch_sharding(mesh, x.ndim))
+        return model.apply(params, x)
+
+    out = np.asarray(sharded_apply(replicate(params, mesh), shard_batch(x, mesh)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -151,3 +151,25 @@ def test_sampler_bounds_and_targets(rng):
     Xb, Yb = sine["bc3"].sample(key, 10)
     np.testing.assert_allclose(np.asarray(Xb[:, 2]), 0.0, atol=1e-7)  # y = 0 wall
     np.testing.assert_allclose(np.asarray(Yb), 0.0)
+
+
+def test_taylor_green_is_exact_ns_solution():
+    """The Taylor-Green field (data/navier_stokes.py) must zero the
+    reference-form NS residuals (nn/pde.py:2-27) — analytic oracle for the
+    runnable navier_stokes config."""
+    from qcpinn_tpu.data import navier_stokes as ns
+    from qcpinn_tpu.physics import (
+        navier_stokes_2d_operator,
+        navier_stokes_2d_operator_fwd,
+    )
+
+    X = jnp.asarray(
+        np.random.default_rng(0).uniform(
+            [0, 0, 0], [1.0, np.pi, np.pi], (64, 3)
+        ).astype(np.float32)
+    )
+    for op in (navier_stokes_2d_operator, navier_stokes_2d_operator_fwd):
+        cont, f_u, f_v = jax.jit(lambda X, op=op: op(ns.uvp, X))(X)
+        np.testing.assert_allclose(np.asarray(cont), 0.0, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(f_u), 0.0, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(f_v), 0.0, atol=2e-3)
