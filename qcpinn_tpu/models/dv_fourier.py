@@ -54,18 +54,32 @@ class DVFourierSolver:
 
         self._fused = None
 
-    def use_pallas(self, interpret: bool = False) -> "DVFourierSolver":
+    def use_pallas(
+        self, interpret: bool = False, backend: str = "auto"
+    ) -> "DVFourierSolver":
         """Pallas fused-circuit backend for first-order paths (see
-        DVSolver.use_pallas); the tangent-stream residual composes with it."""
-        from ..ops.pallas_sv import FusedCircuit
+        DVSolver.use_pallas); the tangent-stream residual composes with it.
+        ``auto`` picks the loop-form kernel (16q-capable) for n >= 10."""
+        from ..ops.pallas_loop import make_fused_backend
 
         try:
-            self._fused = FusedCircuit(self.circuit, interpret=interpret)
+            self._fused = make_fused_backend(
+                self.circuit, interpret=interpret, backend=backend
+            )
         except Exception as e:  # noqa: BLE001
             import warnings
 
             warnings.warn(f"pallas backend unavailable ({e}); using XLA path")
             self._fused = None
+        return self
+
+    def use_sharded(
+        self, mesh, amp_axis: str = "amp", data_axis: str = "data"
+    ) -> "DVFourierSolver":
+        """Amplitude-sharded quantum block (see DVSolver.use_sharded)."""
+        from ..parallel.sharded_sv import ShardedCircuit
+
+        self._fused = ShardedCircuit(self.circuit, mesh, amp_axis, data_axis)
         return self
 
     def init(self, key: jax.Array) -> dict:

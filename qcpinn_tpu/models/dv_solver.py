@@ -42,23 +42,41 @@ class DVSolver:
             self.noise = NoiseModel(config.noise_depolarizing, config.noise_readout)
         self._fused = None
 
-    def use_pallas(self, interpret: bool = False) -> "DVSolver":
-        """Switch the quantum block to the Pallas fused-circuit backend
+    def use_pallas(self, interpret: bool = False, backend: str = "auto") -> "DVSolver":
+        """Switch the quantum block to a Pallas fused-circuit backend
         (first-order differentiable only — data losses, inference,
-        finetune; keep the XLA path for PDE-residual training).
+        finetune; PDE-residual training composes via tangent streams,
+        physics/streams.py). ``backend``: auto | loop | unrolled — auto
+        picks the loop-form kernel (16q-capable) for n >= 10.
 
         Degrades gracefully (the reference's device-fallback-ladder analog,
-        nn/DVQuantumLayer.py:100-131): if the fused backend can't be built
+        nn/DVQuantumLayer.py:100-131): if no fused backend can be built
         for this circuit, the XLA path stays active."""
-        from ..ops.pallas_sv import FusedCircuit
+        from ..ops.pallas_loop import make_fused_backend
 
         try:
-            self._fused = FusedCircuit(self.circuit, interpret=interpret)
+            self._fused = make_fused_backend(
+                self.circuit, interpret=interpret, backend=backend
+            )
         except Exception as e:  # noqa: BLE001 - fallback is the feature
             import warnings
 
             warnings.warn(f"pallas backend unavailable ({e}); using XLA path")
             self._fused = None
+        return self
+
+    def use_sharded(
+        self, mesh, amp_axis: str = "amp", data_axis: str = "data"
+    ) -> "DVSolver":
+        """Route the quantum block through the amplitude-sharded engine
+        (parallel/sharded_sv.py): the 2^n state is split over the mesh's
+        ``amp_axis`` (cross-shard gates ride ICI ppermutes) and the batch
+        over ``data_axis``. Lifts the per-chip HBM cap on qubit count /
+        residual batch; any-order differentiable, so it composes with the
+        nested-AD PDE operators inside the jitted train step."""
+        from ..parallel.sharded_sv import ShardedCircuit
+
+        self._fused = ShardedCircuit(self.circuit, mesh, amp_axis, data_axis)
         return self
 
     def init(self, key: jax.Array) -> dict:

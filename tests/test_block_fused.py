@@ -1,0 +1,119 @@
+"""Block-fused MXU engine (ops/block_fused.py) parity vs the XLA engine.
+
+Pure-XLA engine: runs everywhere, differentiable to any order, so we also
+check second-order (forward-over-reverse) derivatives — the property that
+lets it serve the nested-AD PDE operators directly at 16 qubits.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qcpinn_tpu.ops import statevector as sv
+from qcpinn_tpu.ops.block_fused import BlockFusedCircuit, compile_segments
+from qcpinn_tpu.ops.circuit import DVCircuit
+
+
+def _circ(ansatz, n=4, layers=1, encoding="angle"):
+    return DVCircuit(
+        num_qubits=n, num_quantum_layers=layers, q_ansatz=ansatz,
+        encoding=encoding, seed=7,
+    )
+
+
+def _parity(circuit, b=5, grad=True, atol=5e-6, hi_bits=None):
+    bf = BlockFusedCircuit(circuit, hi_bits=hi_bits)
+    params = circuit.init_params(jax.random.PRNGKey(0)).reshape(-1)
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (b, circuit.n), minval=-1.0, maxval=1.0
+    )
+    np.testing.assert_allclose(
+        bf.apply(params, x), circuit.apply(params, x), atol=atol
+    )
+    if grad:
+        g_ref = jax.grad(
+            lambda p, xx: jnp.sum(circuit.apply(p, xx) ** 2), argnums=(0, 1)
+        )(params, x)
+        g_new = jax.grad(
+            lambda p, xx: jnp.sum(bf.apply(p, xx) ** 2), argnums=(0, 1)
+        )(params, x)
+        for a, b_ in zip(g_ref, g_new):
+            np.testing.assert_allclose(b_, a, atol=5e-5)
+
+
+@pytest.mark.parametrize("ansatz", ["cross_mesh", "cascade"])
+def test_parity_with_grads(ansatz):
+    _parity(_circ(ansatz))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "ansatz", ["layered", "alternate", "farhi", "sim_circ_15"]
+)
+def test_remaining_ansatzes_parity(ansatz):
+    _parity(_circ(ansatz))
+
+
+def test_unbalanced_split_and_layers():
+    # hb=1 forces everything through cross-block / lo-block paths
+    _parity(_circ("cascade", n=5, layers=2), hi_bits=1, grad=False)
+    _parity(_circ("cascade", n=5, layers=2), hi_bits=4, grad=False)
+
+
+def test_second_order_derivatives_match_xla():
+    # d2/dx2 of the readout — the nested-AD path PDE operators need.
+    circuit = _circ("cross_mesh")
+    bf = BlockFusedCircuit(circuit)
+    params = circuit.init_params(jax.random.PRNGKey(0)).reshape(-1)
+    x0 = jnp.asarray([0.3, -0.2, 0.7, 0.1])
+
+    def hess(apply):
+        f = lambda xx: jnp.sum(apply(params, xx[None, :]) ** 2)
+        return jax.jacfwd(jax.grad(f))(x0)
+
+    np.testing.assert_allclose(
+        hess(bf.apply), hess(circuit.apply), atol=1e-4
+    )
+
+
+def test_evolve_arbitrary_state():
+    circuit = _circ("cross_mesh")
+    bf = BlockFusedCircuit(circuit)
+    params = circuit.init_params(jax.random.PRNGKey(0)).reshape(-1)
+    rng = np.random.RandomState(3)
+    st = rng.randn(4, 16) + 1j * rng.randn(4, 16)
+    st = jnp.asarray(
+        (st / np.linalg.norm(st, axis=1, keepdims=True)).astype(np.complex64)
+    )
+    np.testing.assert_allclose(
+        bf.evolve(params, st), circuit.evolve(params, st), atol=5e-6
+    )
+
+
+def test_amplitude_encoding():
+    circuit = _circ("cascade", encoding="amplitude")
+    bf = BlockFusedCircuit(circuit)
+    params = circuit.init_params(jax.random.PRNGKey(0)).reshape(-1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (5, 3)) + 0.1
+    np.testing.assert_allclose(
+        bf.apply(params, x), circuit.apply(params, x), atol=5e-6
+    )
+
+
+def test_batched_params_rejected():
+    circuit = _circ("cascade")
+    bf = BlockFusedCircuit(circuit)
+    params = jnp.zeros((4, circuit.num_params))
+    with pytest.raises(ValueError, match="unbatched"):
+        bf.evolve(params, jnp.asarray(sv.zero_state(4, 4)))
+
+
+def test_segment_compilation_shape():
+    # cross_mesh: 1q layers fuse into block runs; CRZ mesh fuses to a diag
+    segs = compile_segments(_circ("cross_mesh", n=4), hb=2)
+    kinds = [s.kind for s in segs]
+    assert "blocks" in kinds and "diag" in kinds
+    # cascade CRX ring straddles the boundary -> at least one 'op' segment
+    segs = compile_segments(_circ("cascade", n=4), hb=2)
+    assert any(s.kind == "op" for s in segs)

@@ -20,7 +20,17 @@ def _setup(ansatz, n=4, layers=1, seed=None, key=0):
     return circ, fused, params, x
 
 
-@pytest.mark.parametrize("ansatz", ["cascade", "layered", "farhi", "sim_circ_15", "cross_mesh", "alternate"])
+@pytest.mark.parametrize(
+    "ansatz",
+    [
+        "cross_mesh",  # fast-gate representative (1q + fused diag + epilogue)
+        pytest.param("cascade", marks=pytest.mark.slow),
+        pytest.param("layered", marks=pytest.mark.slow),
+        pytest.param("farhi", marks=pytest.mark.slow),
+        pytest.param("sim_circ_15", marks=pytest.mark.slow),
+        pytest.param("alternate", marks=pytest.mark.slow),
+    ],
+)
 def test_fused_forward_matches_xla(ansatz):
     circ, fused, params, x = _setup(ansatz)
     ref = np.asarray(circ.apply(params, x))
@@ -28,6 +38,7 @@ def test_fused_forward_matches_xla(ansatz):
     np.testing.assert_allclose(got, ref, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_fused_with_haar_epilogue():
     circ, fused, params, x = _setup("cascade", seed=11)
     assert any(s.kind == "u2q" for s in fused.mp.steps)
@@ -36,6 +47,7 @@ def test_fused_with_haar_epilogue():
     )
 
 
+@pytest.mark.slow
 def test_fused_multilayer():
     circ, fused, params, x = _setup("layered", layers=3)
     np.testing.assert_allclose(
@@ -43,7 +55,14 @@ def test_fused_multilayer():
     )
 
 
-@pytest.mark.parametrize("ansatz", ["cascade", "cross_mesh", "layered"])
+@pytest.mark.parametrize(
+    "ansatz",
+    [
+        "cross_mesh",  # fast-gate representative of the reverse-sweep VJP
+        pytest.param("cascade", marks=pytest.mark.slow),
+        pytest.param("layered", marks=pytest.mark.slow),
+    ],
+)
 def test_fused_param_gradients_match(ansatz):
     circ, fused, params, x = _setup(ansatz, seed=5)
 
@@ -55,6 +74,7 @@ def test_fused_param_gradients_match(ansatz):
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_input_gradients_match():
     circ, fused, params, x = _setup("cross_mesh")
 
