@@ -282,3 +282,44 @@ def make_sharded_circuit_apply(
         out_specs=P(data_axis, None),
         check_rep=False,
     )
+
+
+class ShardedCircuit:
+    """Quantum-block adapter around :func:`make_sharded_circuit_apply` with
+    the fused-backend calling convention, so a solver can route training
+    through the amp-sharded engine (``model.use_sharded(mesh)``) and the
+    jitted train step lifts the 2^n HBM cap by the 'amp' mesh factor.
+
+    Differentiable to any order (plain XLA + collectives), so the nested-AD
+    PDE operators work through it. Shot-sampling and noise channels are
+    single-device features (use the unsharded engines for hardware-fidelity
+    experiments)."""
+
+    def __init__(
+        self,
+        circuit: DVCircuit,
+        mesh: Mesh,
+        amp_axis: str = "amp",
+        data_axis: str = "data",
+    ):
+        self.circuit = circuit
+        self.mesh = mesh
+        self._data = mesh.shape[data_axis]
+        self._apply = make_sharded_circuit_apply(circuit, mesh, amp_axis, data_axis)
+
+    def apply(self, params, x, *, shots=None, key=None, noise=None):
+        if shots is not None or noise is not None:
+            raise NotImplementedError(
+                "shots/noise modes run on the unsharded engines"
+            )
+        # shard_map needs the batch divisible by the data axis; pad + slice
+        # (static shapes under jit, so this costs one pad/slice pair)
+        b = x.shape[0]
+        bp = -(-b // self._data) * self._data
+        if bp != b:
+            x = jnp.pad(x, ((0, bp - b), (0, 0)))
+        z = self._apply(params, x)
+        return z[:b]
+
+    def __call__(self, params, x, **kw):
+        return self.apply(params, x, **kw)

@@ -190,7 +190,8 @@ def dv_diffusion_residual_streams(
     # the Pallas reverse-sweep backend composes here: streams only need
     # first-order reverse through the evolution
     fused = getattr(model, "_fused", None)
-    evolve_fn = fused.evolve if fused is not None else None
+    # the sharded adapter exposes no evolve; streams then use the XLA engine
+    evolve_fn = getattr(fused, "evolve", None)
     z, dz, d2z = circuit_z_streams(circuit, params["q"], a, d1, d2, evolve_fn)
 
     # decoder chain rule via nested jvp over the (z, extra) feature space

@@ -81,6 +81,32 @@ def test_data_parallel_matches_single_device():
     np.testing.assert_allclose(hist_single, hist_dp, rtol=1e-4, atol=1e-6)
 
 
+def test_amp_sharded_training_matches_single_device():
+    """Full train step with the quantum block amplitude-sharded over a
+    data x amp = 2 x 4 mesh follows the single-device trajectory (VERDICT
+    round-1 item 4: 'amp' wired into make_train_step via use_sharded)."""
+    cfg = QCPINNConfig(
+        num_qubits=4,
+        q_ansatz="cross_mesh",
+        classic_network=(3, 8, 1),
+        epochs=6,
+        batch_size=16,
+        print_every=6,
+        seed=5,
+    )
+    samplers = gaussian_pulse_samplers()
+    terms = diffusion_terms(samplers, cfg.batch_size)
+
+    model = DVSolver(cfg)
+    _, hist_single = train(model, cfg, terms, diffusion_operator)
+
+    mesh2 = make_mesh(data=2, amp=4)
+    model2 = DVSolver(cfg).use_sharded(mesh2)
+    _, hist_amp = train(model2, cfg, terms, diffusion_operator, mesh=mesh2)
+
+    np.testing.assert_allclose(hist_single, hist_amp, rtol=1e-4, atol=1e-6)
+
+
 def test_hopfield_sharded_matches_single_device(mesh):
     """The B x B Hopfield attention couples the batch; under GSPMD batch
     sharding (with_sharding_constraint, not shard_map) the semantics must
