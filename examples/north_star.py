@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -35,19 +36,39 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--total-steps", type=int, default=20000,
-                    help="cosine horizon; training stops at --minutes")
+                    help="cosine horizon; training stops at --minutes. Set "
+                    "this near the achievable step count so the lr anneals")
     ap.add_argument("--plain", action="store_true", help="use the plain DVSolver")
+    ap.add_argument("--solver", default=None,
+                    choices=["fourier", "plain", "classical"],
+                    help="fourier (default) | plain | classical "
+                    "(no-quantum Hopfield ablation)")
+    ap.add_argument("--backend", default="auto",
+                    help="fused-circuit backend: auto|block|loop|unrolled|xla")
+    ap.add_argument("--focus-frac", type=float, default=0.5,
+                    help="fraction of residual points drawn around the pulse "
+                    "(0 = uniform, the round-1 recipe)")
+    ap.add_argument("--focus-sigma", type=float, default=0.12)
+    ap.add_argument("--supervised", action="store_true",
+                    help="ablation: fit u directly (value loss on domain "
+                    "samples) instead of the PDE residual — isolates the "
+                    "PINN optimization barrier from plain approximation")
+    ap.add_argument("--mapping", type=int, default=32,
+                    help="Fourier feature count (DVFourierSolver)")
+    ap.add_argument("--ff-scale", type=float, default=4.0)
+    ap.add_argument("--skip-dim", type=int, default=32)
     args = ap.parse_args()
 
     from qcpinn_tpu.config import QCPINNConfig
     from qcpinn_tpu.data import diffusion as dd
-    from qcpinn_tpu.models import DVSolver
+    from qcpinn_tpu.models import ClassicalSolver, DVSolver
     from qcpinn_tpu.models.dv_fourier import DVFourierSolver
     from qcpinn_tpu.physics.operators_fwd import diffusion_operator_fwd
     from qcpinn_tpu.train import TermSpec, make_train_step
     from qcpinn_tpu.train import optim as topt
     from qcpinn_tpu.utils.evaluation import evaluate_relative_l2
 
+    solver = args.solver or ("plain" if args.plain else "fourier")
     cfg = QCPINNConfig(
         num_qubits=args.qubits,
         num_quantum_layers=args.layers,
@@ -59,14 +80,34 @@ def main():
         scheduler="cosine",
         epochs=args.total_steps,
     )
-    model = (DVSolver if args.plain else DVFourierSolver)(cfg)
+    if solver == "fourier":
+        model = DVFourierSolver(
+            cfg, mapping_size=args.mapping, ff_scale=args.ff_scale,
+            skip_dim=args.skip_dim,
+        )
+    else:
+        model = {"plain": DVSolver, "classical": ClassicalSolver}[solver](cfg)
+    if solver != "classical" and args.backend != "xla":
+        model.use_pallas(backend=args.backend)
     params = model.init(jax.random.PRNGKey(cfg.seed))
 
     box = dd._box
     third = max(args.batch // 3, 1)
-    res_sampler = dd.Sampler(box([[0, 0, 0], [1, 1, 1]]), dd.r_true, "res")
+    if args.focus_frac > 0.0:
+        res_sampler = dd.pulse_residual_sampler(
+            frac=args.focus_frac, sigma=args.focus_sigma, func=dd.r_true
+        )
+    else:
+        res_sampler = dd.Sampler(box([[0, 0, 0], [1, 1, 1]]), dd.r_true, "res")
+    if args.supervised:
+        sup_sampler = dataclasses.replace(res_sampler, func=dd.u) if isinstance(
+            res_sampler, dd.MixtureSampler
+        ) else dd.Sampler(box([[0, 0, 0], [1, 1, 1]]), dd.u, "sup")
+        res_term = TermSpec(sup_sampler, 1.0, args.batch, "value")
+    else:
+        res_term = TermSpec(res_sampler, 1.0, args.batch, "residual")
     terms = {
-        "res": TermSpec(res_sampler, 1.0, args.batch, "residual"),
+        "res": res_term,
         "ic": TermSpec(dd.Sampler(box([[0, 0, 0], [0, 1, 1]]), dd.u), 10.0, third, "value"),
         "bcx0": TermSpec(dd.Sampler(box([[0, 0, 0], [1, 0, 1]]), dd.u), 10.0, third, "value"),
         "bcx1": TermSpec(dd.Sampler(box([[0, 1, 0], [1, 1, 1]]), dd.u), 10.0, third, "value"),
@@ -111,6 +152,8 @@ def main():
     result = {
         "qubits": args.qubits,
         "ansatz": args.ansatz,
+        "solver": solver,
+        "focus_frac": args.focus_frac,
         "steps": done,
         "train_seconds": round(train_time, 1),
         "final_loss": losses[-1] if losses else None,

@@ -153,6 +153,22 @@ def test_sampler_bounds_and_targets(rng):
     np.testing.assert_allclose(np.asarray(Yb), 0.0)
 
 
+def test_mixture_sampler_focus_and_targets(rng):
+    s = dd.pulse_residual_sampler(frac=0.5, sigma=0.1, func=dd.r_true)
+    X, Y = s.sample(jax.random.PRNGKey(2), 2000)
+    Xn = np.asarray(X)
+    assert np.all(Xn >= 0.0) and np.all(Xn <= 1.0)
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(dd.r_true(X)), atol=1e-5)
+    # first half is pulse-focused in (x, y) but uniform in t
+    foc, uni = Xn[:1000], Xn[1000:]
+    assert np.std(foc[:, 1] - 0.5) < 0.15 < np.std(uni[:, 1] - 0.5) * 2
+    assert abs(np.std(foc[:, 0]) - np.std(uni[:, 0])) < 0.05  # t untouched
+    # frac=0 degenerates to the uniform sampler's support
+    s0 = dd.pulse_residual_sampler(frac=0.0)
+    X0, _ = s0.sample(jax.random.PRNGKey(3), 500)
+    assert np.std(np.asarray(X0)[:, 1] - 0.5) > 0.2
+
+
 def test_taylor_green_is_exact_ns_solution():
     """The Taylor-Green field (data/navier_stokes.py) must zero the
     reference-form NS residuals (nn/pde.py:2-27) — analytic oracle for the
