@@ -57,6 +57,13 @@ def main():
                     help="Fourier feature count (DVFourierSolver)")
     ap.add_argument("--ff-scale", type=float, default=4.0)
     ap.add_argument("--skip-dim", type=int, default=32)
+    ap.add_argument("--no-quantum", action="store_true",
+                    help="ablation: identity quantum block (z = angles) — "
+                    "same architecture, no circuit")
+    ap.add_argument("--rbf", type=int, default=0,
+                    help="additive Gaussian-RBF output head units (0 = off); "
+                    "centers drawn where |forcing| is large")
+    ap.add_argument("--rbf-width", type=float, default=8.0)
     args = ap.parse_args()
 
     from qcpinn_tpu.config import QCPINNConfig
@@ -81,13 +88,28 @@ def main():
         epochs=args.total_steps,
     )
     if solver == "fourier":
+        rbf_centers = None
+        if args.rbf > 0:
+            from qcpinn_tpu.models import nn_core as nc
+
+            Xp = jax.random.uniform(jax.random.PRNGKey(123), (4096, 3))
+            rbf_centers = nc.rbf_centers_from_samples(
+                jax.random.PRNGKey(124), Xp, dd.r_true(Xp), args.rbf
+            )
         model = DVFourierSolver(
             cfg, mapping_size=args.mapping, ff_scale=args.ff_scale,
-            skip_dim=args.skip_dim,
+            skip_dim=args.skip_dim, rbf_count=args.rbf,
+            rbf_width=args.rbf_width, rbf_centers=rbf_centers,
         )
     else:
         model = {"plain": DVSolver, "classical": ClassicalSolver}[solver](cfg)
-    if solver != "classical" and args.backend != "xla":
+    if solver != "classical" and args.no_quantum:
+        class _IdentityQ:  # bisection probe: bypass the circuit entirely
+            def apply(self, qp, x, **kw):
+                return x
+
+        model._fused = _IdentityQ()
+    elif solver != "classical" and args.backend != "xla":
         model.use_pallas(backend=args.backend)
     params = model.init(jax.random.PRNGKey(cfg.seed))
 

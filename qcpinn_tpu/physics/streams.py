@@ -226,6 +226,21 @@ def dv_diffusion_residual_streams(
     u_x, u_xx = second(g_x, h_x)
     u_y, u_yy = second(g_y, h_y)
 
+    if "rbf" in params:
+        # additive localized head (models/dv_fourier.py): a direct function
+        # of X, so its streams are ordinary (cheap) nested jvps — no
+        # circuit evolution involved
+        import qcpinn_tpu.models.nn_core as nc
+
+        rbf_fn = lambda Xp: nc.rbf_apply(params["rbf"], Xp)
+        r0, r_t = _enc_d1(rbf_fn, X, 0)
+        _, r_x, r_xx = _enc_d2(rbf_fn, X, 1)
+        _, r_y, r_yy = _enc_d2(rbf_fn, X, 2)
+        u = u + r0
+        u_t = u_t + r_t
+        u_x, u_y = u_x + r_x, u_y + r_y
+        u_xx, u_yy = u_xx + r_xx, u_yy + r_yy
+
     residual = (
         u_t[:, 0] / sigma_t
         + v_x * u_x[:, 0] / sigma_x

@@ -1,4 +1,5 @@
 from . import losses, optim
+from .lbfgs import lbfgs_refine, make_fixed_batch_loss
 from .loop import TermSpec, diffusion_terms, make_train_step, make_val_fn, train
 
 __all__ = [
@@ -9,4 +10,6 @@ __all__ = [
     "make_train_step",
     "make_val_fn",
     "train",
+    "lbfgs_refine",
+    "make_fixed_batch_loss",
 ]
