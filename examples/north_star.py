@@ -64,6 +64,19 @@ def main():
                     help="additive Gaussian-RBF output head units (0 = off); "
                     "centers drawn where |forcing| is large")
     ap.add_argument("--rbf-width", type=float, default=8.0)
+    ap.add_argument("--stage1-minutes", type=float, default=0.0,
+                    help="two-phase schedule (the reference's classical-then-"
+                    "quantum staging, test_hqpinn_cg.py:180-199): phase 1 "
+                    "trains with a zeroed quantum block (no circuit cost), "
+                    "phase 2 joint-trains the full QCPINN for the remaining "
+                    "budget")
+    ap.add_argument("--stage1-steps", type=int, default=30000)
+    ap.add_argument("--z-rescale", type=float, default=1e-2,
+                    help="scale on the decoder's quantum-feature columns at "
+                    "the phase-1 -> phase-2 handoff, so switching on the "
+                    "circuit perturbs the converged fit smoothly")
+    ap.add_argument("--lr2", type=float, default=None,
+                    help="phase-2 lr (default lr/5)")
     args = ap.parse_args()
 
     from qcpinn_tpu.config import QCPINNConfig
@@ -71,6 +84,7 @@ def main():
     from qcpinn_tpu.models import ClassicalSolver, DVSolver
     from qcpinn_tpu.models.dv_fourier import DVFourierSolver
     from qcpinn_tpu.physics.operators_fwd import diffusion_operator_fwd
+    from qcpinn_tpu.physics.streams import dv_diffusion_residual_streams
     from qcpinn_tpu.train import TermSpec, make_train_step
     from qcpinn_tpu.train import optim as topt
     from qcpinn_tpu.utils.evaluation import evaluate_relative_l2
@@ -136,40 +150,98 @@ def main():
         "bcy0": TermSpec(dd.Sampler(box([[0, 0, 0], [1, 1, 0]]), dd.u), 10.0, third, "value"),
         "bcy1": TermSpec(dd.Sampler(box([[0, 0, 1], [1, 1, 1]]), dd.u), 10.0, third, "value"),
     }
-    optimizer = topt.make_optimizer(
-        cfg.lr, grad_clip=1.0, schedule="cosine", epochs=args.total_steps
-    )
-    opt_state = optimizer.init(params)
-    sched = topt.plateau_init()
-    _, scan_steps = make_train_step(
-        model.apply, diffusion_operator_fwd, terms, optimizer, cfg
-    )
-
     key = jax.random.PRNGKey(1)
-    # compile outside the budget (the driver's 5-minute target is train time)
-    out = scan_steps(params, opt_state, sched, key, 0, args.chunk)
-    float(jax.device_get(out[3]["loss"])[-1])
-    params, opt_state, sched = out[0], out[1], out[2]
-    done = args.chunk
 
-    t0 = time.time()
-    budget = args.minutes * 60.0
-    losses = []
-    while time.time() - t0 < budget and done < args.total_steps:
-        out = scan_steps(params, opt_state, sched, key, done, args.chunk)
-        loss = float(jax.device_get(out[3]["loss"])[-1])
+    def run_phase(apply_fn, params, lr, total_steps, budget_s, chunk, label,
+                  residual_fn=None):
+        """Adam phase: compile outside the budget, then chunked scan until
+        the wall-clock budget or the cosine horizon is reached."""
+        optimizer = topt.make_optimizer(
+            lr, grad_clip=1.0, schedule="cosine", epochs=total_steps
+        )
+        opt_state = optimizer.init(params)
+        sched = topt.plateau_init()
+        _, scan_steps = make_train_step(
+            apply_fn, diffusion_operator_fwd, terms, optimizer, cfg,
+            residual_fn=residual_fn,
+        )
+        out = scan_steps(params, opt_state, sched, key, 0, chunk)
+        float(jax.device_get(out[3]["loss"])[-1])
         params, opt_state, sched = out[0], out[1], out[2]
-        done += args.chunk
-        losses.append(loss)
-        if len(losses) % 5 == 0:
-            el = time.time() - t0
-            print(f"step {done}: loss={loss:.3e} elapsed={el:.0f}s", flush=True)
-    train_time = time.time() - t0
+        done = chunk
+        t0 = time.time()
+        losses = []
+        while time.time() - t0 < budget_s and done < total_steps:
+            out = scan_steps(params, opt_state, sched, key, done, chunk)
+            loss = float(jax.device_get(out[3]["loss"])[-1])
+            params, opt_state, sched = out[0], out[1], out[2]
+            done += chunk
+            losses.append(loss)
+            if len(losses) % 5 == 0:
+                el = time.time() - t0
+                print(f"[{label}] step {done}: loss={loss:.3e} elapsed={el:.0f}s",
+                      flush=True)
+        return params, done, time.time() - t0, losses
 
+    budget = args.minutes * 60.0
+    # tangent-stream residuals: mandatory at high qubit counts (nested AD
+    # through a 2^16 state memory-caps the batch — physics/streams.py)
+    use_streams = (
+        solver == "fourier" and not args.no_quantum and not args.supervised
+        and args.qubits >= 10
+    )
+    residual_fn = (
+        (lambda p, X: dv_diffusion_residual_streams(model, p, X))
+        if use_streams else None
+    )
+    stage_info = None
+    if args.stage1_minutes > 0 and solver == "fourier" and not args.no_quantum:
+        # phase 1: zeroed quantum block — decoder sees z=0, so the circuit
+        # is never evaluated and the z-columns of the first post layer get
+        # zero gradient (they keep their init until phase 2)
+        class _ZeroQ:
+            def apply(self, qp, x, **kw):
+                return jnp.zeros((x.shape[0], cfg.num_qubits), x.dtype)
+
+        model1 = DVFourierSolver(
+            cfg, mapping_size=args.mapping, ff_scale=args.ff_scale,
+            skip_dim=args.skip_dim, rbf_count=args.rbf,
+            rbf_width=args.rbf_width, rbf_centers=rbf_centers,
+        )
+        model1._fused = _ZeroQ()
+        s1_budget = min(args.stage1_minutes * 60.0, budget)
+        params, d1, t1, l1 = run_phase(
+            model1.apply, params, args.lr, args.stage1_steps, s1_budget,
+            max(args.chunk, 500), "stage1",
+        )
+        # handoff: damp the decoder's quantum-feature columns so switching
+        # the circuit on perturbs the converged fit smoothly
+        w0 = params["post"][0]["w"]
+        params["post"][0]["w"] = w0.at[: cfg.num_qubits, :].multiply(args.z_rescale)
+        lr2 = args.lr2 if args.lr2 is not None else args.lr / 5.0
+        params, d2, t2, l2 = run_phase(
+            model.apply, params, lr2, args.total_steps, budget - t1,
+            args.chunk, "stage2", residual_fn=residual_fn,
+        )
+        done, train_time, losses = d1 + d2, t1 + t2, l1 + l2
+        stage_info = {"stage1_steps": d1, "stage1_seconds": round(t1, 1),
+                      "stage2_steps": d2, "stage2_seconds": round(t2, 1)}
+    else:
+        params, done, train_time, losses = run_phase(
+            model.apply, params, args.lr, args.total_steps, budget,
+            args.chunk, "train", residual_fn=residual_fn,
+        )
+
+    # at high qubit counts the residual eval must also ride streams —
+    # nested AD through the 2^16 state would blow HBM at eval batch sizes
+    eval_operator = (
+        (lambda _apply, X: dv_diffusion_residual_streams(model, params, X))
+        if use_streams else diffusion_operator_fwd
+    )
     metrics = evaluate_relative_l2(
         model.apply, params, dd.u, analytic_r=dd.r_true,
-        operator=diffusion_operator_fwd, num=20,
-        batch=min(4096, 8 * args.batch),  # residual eval is memory-heavy at 16q
+        operator=eval_operator, num=20,
+        batch=min(4096 if args.qubits < 10 else 512, 8 * args.batch),
     )
     result = {
         "qubits": args.qubits,
@@ -183,6 +255,8 @@ def main():
         "rel_l2_r": metrics.get("rel_l2_r_percent", None),
         "points_per_sec": round(done * args.batch / train_time, 1),
     }
+    if stage_info:
+        result.update(stage_info)
     print(json.dumps(result))
 
 

@@ -78,11 +78,16 @@ def make_train_step(
     config: QCPINNConfig,
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
+    residual_fn: Optional[Callable] = None,
 ):
     """Build (init_state, step_fn, scan_fn).
 
     ``model_apply(params, X) -> [B, out]``; ``operator(apply, X) ->
-    (u, residual)`` with ``apply`` already bound to params.
+    (u, residual)`` with ``apply`` already bound to params. When
+    ``residual_fn(params, X) -> (u, residual)`` is given it replaces the
+    operator for 'residual' terms — this is how the tangent-stream
+    residuals (physics/streams.py, params-structured) plug into the same
+    jitted step as the generic nested-AD operators.
     """
     names = tuple(terms.keys())
     use_plateau = config.scheduler == "plateau"
@@ -99,8 +104,11 @@ def make_train_step(
         for name in names:
             X, y = batches[name]
             if terms[name].kind == "residual":
-                apply = lambda Xp: model_apply(params, Xp)
-                _, pred = operator(apply, X)
+                if residual_fn is not None:
+                    _, pred = residual_fn(params, X)
+                else:
+                    apply = lambda Xp: model_apply(params, Xp)
+                    _, pred = operator(apply, X)
             else:
                 pred = model_apply(params, X)
             per_term[name] = L.mse(pred, y)

@@ -22,6 +22,14 @@ import jax
 # the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
+# The suite is compile-dominated (nested-AD PDE operators, shard_map
+# collectives); a persistent compilation cache makes warm reruns fast so
+# the suite can gate every iteration. Safe to delete at any time.
+_CACHE = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qcpinn_tpu.config import QCPINNConfig
 from qcpinn_tpu.data import gaussian_pulse_samplers
@@ -59,6 +60,7 @@ def test_circuit_text_and_files(tmp_path):
     assert "ansatz=cascade" in out
 
 
+@pytest.mark.slow
 def test_train_resume_continues_trajectory():
     cfg = QCPINNConfig(
         num_qubits=2, classic_network=(3, 8, 1), epochs=20,

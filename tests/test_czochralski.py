@@ -127,6 +127,7 @@ def test_cz_residuals_finite_and_jittable(rng):
     )
 
 
+@pytest.mark.slow
 def test_two_phase_pipeline_smoke(rng):
     """pretrain -> checkpoint handoff -> shot-noise head finetune, tiny."""
     model = _small_model()

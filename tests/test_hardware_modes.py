@@ -42,6 +42,7 @@ def test_parameter_shift_matches_autodiff_exact(rng, ansatz):
     np.testing.assert_allclose(np.asarray(gx_hw), np.asarray(gx_ex), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_parameter_shift_with_shots_is_unbiased(rng):
     circ = DVCircuit(2, 1, "cascade")
     params = circ.init_params(jax.random.PRNGKey(0))
@@ -115,6 +116,7 @@ def _toy_problem():
     return init, apply, X, Y
 
 
+@pytest.mark.slow
 def test_staged_classical_then_layerwise(rng):
     init, apply, X, Y = _toy_problem()
     params = init(jax.random.PRNGKey(0))

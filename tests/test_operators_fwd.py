@@ -4,6 +4,7 @@ operators exactly for point-decoupled models."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from qcpinn_tpu.config import QCPINNConfig
 from qcpinn_tpu.data import diffusion as dd
@@ -68,6 +69,7 @@ def test_navier_stokes_fwd_matches(rng):
     np.testing.assert_allclose(np.asarray(fv2), np.asarray(fv1), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_cz_residuals_fwd_matches(rng):
     from qcpinn_tpu.models.czochralski import Hybrid16QPINN
 

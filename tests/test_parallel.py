@@ -42,9 +42,9 @@ def test_data_parallel_training(mesh):
     cfg = QCPINNConfig(
         num_qubits=2,
         classic_network=(3, 8, 1),
-        epochs=24,
-        batch_size=24,
-        print_every=12,
+        epochs=8,
+        batch_size=16,
+        print_every=4,
         seed=0,
     )
     model = DVSolver(cfg)
@@ -53,7 +53,7 @@ def test_data_parallel_training(mesh):
     params, history = train(
         model, cfg, terms, diffusion_operator, mesh=mesh
     )
-    assert len(history) == 24
+    assert len(history) == 8
     assert np.all(np.isfinite(history))
 
 
@@ -63,9 +63,9 @@ def test_data_parallel_matches_single_device():
     cfg = QCPINNConfig(
         num_qubits=2,
         classic_network=(3, 8, 1),
-        epochs=8,
+        epochs=4,
         batch_size=16,
-        print_every=8,
+        print_every=4,
         seed=3,
     )
     samplers = gaussian_pulse_samplers()
@@ -86,12 +86,12 @@ def test_amp_sharded_training_matches_single_device():
     data x amp = 2 x 4 mesh follows the single-device trajectory (VERDICT
     round-1 item 4: 'amp' wired into make_train_step via use_sharded)."""
     cfg = QCPINNConfig(
-        num_qubits=4,
+        num_qubits=3,
         q_ansatz="cross_mesh",
         classic_network=(3, 8, 1),
-        epochs=6,
-        batch_size=16,
-        print_every=6,
+        epochs=4,
+        batch_size=8,
+        print_every=4,
         seed=5,
     )
     samplers = gaussian_pulse_samplers()

@@ -61,6 +61,7 @@ def test_streams_multilayer_with_haar(rng):
     np.testing.assert_allclose(np.asarray(r_st), np.asarray(r_ref), rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_streams_with_pallas_evolve(rng):
     """streams + Pallas reverse-sweep evolve (interpret mode) == XLA path."""
     cfg = QCPINNConfig(num_qubits=3, classic_network=(3, 8, 1), q_ansatz="cross_mesh")
@@ -87,3 +88,45 @@ def test_streams_with_pallas_evolve(rng):
     g2 = jax.grad(loss)(params)
     for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=3e-4)
+
+
+def test_train_step_with_streams_residual_fn_matches_operator(rng):
+    """make_train_step(residual_fn=...) — the streams hook the 16q north
+    star trains through — must follow the nested-AD operator trajectory."""
+    import optax
+
+    from qcpinn_tpu.data import diffusion as dd
+    from qcpinn_tpu.train import TermSpec, make_train_step
+    from qcpinn_tpu.train import optim as topt
+
+    cfg = QCPINNConfig(
+        num_qubits=3, classic_network=(3, 8, 1), q_ansatz="cross_mesh",
+        batch_size=8, epochs=4, lr=1e-3, seed=2,
+    )
+    model = DVFourierSolver(cfg, mapping_size=4)
+    params = model.init(jax.random.PRNGKey(0))
+    box = dd._box
+    terms = {
+        "res": TermSpec(
+            dd.Sampler(box([[0, 0, 0], [1, 1, 1]]), dd.r_true), 1.0, 8, "residual"
+        ),
+        "ic": TermSpec(
+            dd.Sampler(box([[0, 0, 0], [0, 1, 1]]), dd.u), 10.0, 4, "value"
+        ),
+    }
+    optimizer = topt.make_optimizer(cfg.lr, grad_clip=1.0)
+
+    def run(residual_fn):
+        _, scan_steps = make_train_step(
+            model.apply, diffusion_operator_fwd, terms, optimizer, cfg,
+            residual_fn=residual_fn,
+        )
+        out = scan_steps(
+            params, optimizer.init(params), topt.plateau_init(),
+            jax.random.PRNGKey(1), 0, 3,
+        )
+        return np.asarray(out[3]["loss"])
+
+    l_op = run(None)
+    l_st = run(lambda p, X: dv_diffusion_residual_streams(model, p, X))
+    np.testing.assert_allclose(l_st, l_op, rtol=2e-3, atol=1e-5)
