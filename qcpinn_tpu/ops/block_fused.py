@@ -113,7 +113,12 @@ class BlockFusedCircuit:
     XLA, any-order differentiable. ``hi_bits`` defaults to a balanced split
     (256x256 matmuls at n=16)."""
 
-    def __init__(self, circuit: DVCircuit, hi_bits: Optional[int] = None):
+    def __init__(
+        self,
+        circuit: DVCircuit,
+        hi_bits: Optional[int] = None,
+        precision=HI,
+    ):
         n = circuit.n
         if n < 2:
             raise ValueError("block fusion needs n >= 2")
@@ -122,6 +127,7 @@ class BlockFusedCircuit:
         if not 1 <= self.hb < n:
             raise ValueError(f"hi_bits {self.hb} out of range for n={n}")
         self.lb = n - self.hb
+        self.precision = precision
         self.segments = compile_segments(circuit, self.hb)
 
     def evolve(self, params, state):
@@ -139,10 +145,10 @@ class BlockFusedCircuit:
             if seg.kind == "blocks":
                 if seg.hi_prog:
                     mh = _block_unitary(self.hb, seg.hi_prog, lp)
-                    s = jnp.einsum("bkl,km->bml", s, mh, precision=HI)
+                    s = jnp.einsum("bkl,km->bml", s, mh, precision=self.precision)
                 if seg.lo_prog:
                     ml = _block_unitary(self.lb, seg.lo_prog, lp)
-                    s = jnp.einsum("bkl,lm->bkm", s, ml, precision=HI)
+                    s = jnp.einsum("bkl,lm->bkm", s, ml, precision=self.precision)
             elif seg.kind == "diag":
                 phi = seg.run.phases(lp)  # [2^n]
                 s = s * jnp.exp(1j * phi).astype(s.dtype).reshape(1, h, l)
