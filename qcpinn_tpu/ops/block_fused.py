@@ -118,6 +118,7 @@ class BlockFusedCircuit:
         circuit: DVCircuit,
         hi_bits: Optional[int] = None,
         precision=HI,
+        remat: bool = False,
     ):
         n = circuit.n
         if n < 2:
@@ -128,9 +129,20 @@ class BlockFusedCircuit:
             raise ValueError(f"hi_bits {self.hb} out of range for n={n}")
         self.lb = n - self.hb
         self.precision = precision
+        # rematerialize the evolution in the backward pass instead of
+        # storing every segment's full state (one extra forward of
+        # recompute). Helps when the segment chain dominates live memory;
+        # at 20q the streams/encode buffers dominate instead, so the
+        # practical 20q path is small batches (B=8 measured on-chip).
+        self.remat = remat
         self.segments = compile_segments(circuit, self.hb)
 
     def evolve(self, params, state):
+        if self.remat:
+            return jax.checkpoint(self._evolve_impl)(params, state)
+        return self._evolve_impl(params, state)
+
+    def _evolve_impl(self, params, state):
         """Ansatz layers + epilogue on an arbitrary [B, 2^n] complex state."""
         c = self.circuit
         if params.size != c.layers * c.params_per_layer:

@@ -117,3 +117,15 @@ def test_segment_compilation_shape():
     # cascade CRX ring straddles the boundary -> at least one 'op' segment
     segs = compile_segments(_circ("cascade", n=4), hb=2)
     assert any(s.kind == "op" for s in segs)
+
+
+def test_remat_evolve_matches_and_grads():
+    circuit = _circ("cross_mesh")
+    bf = BlockFusedCircuit(circuit, remat=True)
+    ref = BlockFusedCircuit(circuit)
+    params = circuit.init_params(jax.random.PRNGKey(0)).reshape(-1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 4))
+    np.testing.assert_allclose(bf.apply(params, x), ref.apply(params, x), atol=1e-6)
+    g1 = jax.grad(lambda p: jnp.sum(bf.apply(p, x) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2))(params)
+    np.testing.assert_allclose(g1, g2, atol=1e-5)
