@@ -5,8 +5,13 @@ Trains against the *consistent* forcing r_true (the residual of the analytic
 solution — see data/diffusion.py for the reference's +400*D*u forcing
 defect, which makes <1e-3 unreachable by construction if reproduced).
 
+The defaults reproduce the met target (PARITY.md): 16q cross_mesh, RBF
+output head, pulse-focused sampling, classical-then-quantum staging,
+streams + MXU block engine -> rel-L2 ~1e-4 in <5 min on one v5e chip.
+
 Usage:
-  python examples/north_star.py --qubits 16 --ansatz cross_mesh --minutes 4.5
+  python examples/north_star.py            # the 16q headline run
+  python examples/north_star.py --qubits 6 --stage1-minutes 0 --total-steps 30000
 """
 
 from __future__ import annotations
@@ -31,13 +36,15 @@ def main():
     ap.add_argument("--layers", type=int, default=1)
     ap.add_argument("--minutes", type=float, default=4.5)
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--seed", type=int, default=42)
-    ap.add_argument("--chunk", type=int, default=100)
-    ap.add_argument("--total-steps", type=int, default=20000,
+    ap.add_argument("--chunk", type=int, default=25)
+    ap.add_argument("--total-steps", type=int, default=700,
                     help="cosine horizon; training stops at --minutes. Set "
-                    "this near the achievable step count so the lr anneals")
+                    "this near the achievable step count so the lr anneals "
+                    "(700 matches the 16q default; thousands at low qubit "
+                    "counts)")
     ap.add_argument("--plain", action="store_true", help="use the plain DVSolver")
     ap.add_argument("--solver", default=None,
                     choices=["fourier", "plain", "classical"],
@@ -60,17 +67,17 @@ def main():
     ap.add_argument("--no-quantum", action="store_true",
                     help="ablation: identity quantum block (z = angles) — "
                     "same architecture, no circuit")
-    ap.add_argument("--rbf", type=int, default=0,
+    ap.add_argument("--rbf", type=int, default=8,
                     help="additive Gaussian-RBF output head units (0 = off); "
                     "centers drawn where |forcing| is large")
     ap.add_argument("--rbf-width", type=float, default=8.0)
-    ap.add_argument("--stage1-minutes", type=float, default=0.0,
+    ap.add_argument("--stage1-minutes", type=float, default=1.5,
                     help="two-phase schedule (the reference's classical-then-"
                     "quantum staging, test_hqpinn_cg.py:180-199): phase 1 "
                     "trains with a zeroed quantum block (no circuit cost), "
                     "phase 2 joint-trains the full QCPINN for the remaining "
                     "budget")
-    ap.add_argument("--stage1-steps", type=int, default=30000)
+    ap.add_argument("--stage1-steps", type=int, default=40000)
     ap.add_argument("--z-rescale", type=float, default=1e-2,
                     help="scale on the decoder's quantum-feature columns at "
                     "the phase-1 -> phase-2 handoff, so switching on the "
