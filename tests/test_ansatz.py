@@ -118,7 +118,7 @@ def test_gradients_exist_for_all_ansatze(rng):
         def loss(p):
             return jnp.sum(circ.apply(p, x) ** 2)
 
-        g = jax.grad(loss)(params)
+        g = jax.jit(jax.grad(loss))(params)
         assert np.all(np.isfinite(np.asarray(g))), name
         assert float(jnp.max(jnp.abs(g))) > 0, name
 

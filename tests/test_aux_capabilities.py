@@ -119,7 +119,7 @@ def test_dv_fourier_solver_shapes_and_grads(rng):
     x = jnp.asarray(rng.uniform(0, 1, (5, 3)).astype(np.float32))
     out = model.apply(params, x)
     assert out.shape == (5, 1)
-    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    g = jax.jit(jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2)))(params)
     assert float(jnp.max(jnp.abs(g["q"]))) > 0
     # FF matrix is a fixed buffer: gradient must be zero through stop_gradient
     assert float(jnp.max(jnp.abs(g["ff"]["B"]))) == 0.0

@@ -32,12 +32,12 @@ def _parity(circuit, b=5, grad=True, atol=5e-6, hi_bits=None):
         bf.apply(params, x), circuit.apply(params, x), atol=atol
     )
     if grad:
-        g_ref = jax.grad(
+        g_ref = jax.jit(jax.grad(
             lambda p, xx: jnp.sum(circuit.apply(p, xx) ** 2), argnums=(0, 1)
-        )(params, x)
-        g_new = jax.grad(
+        ))(params, x)
+        g_new = jax.jit(jax.grad(
             lambda p, xx: jnp.sum(bf.apply(p, xx) ** 2), argnums=(0, 1)
-        )(params, x)
+        ))(params, x)
         for a, b_ in zip(g_ref, g_new):
             np.testing.assert_allclose(b_, a, atol=5e-5)
 
@@ -70,7 +70,7 @@ def test_second_order_derivatives_match_xla():
 
     def hess(apply):
         f = lambda xx: jnp.sum(apply(params, xx[None, :]) ** 2)
-        return jax.jacfwd(jax.grad(f))(x0)
+        return jax.jit(jax.jacfwd(jax.grad(f)))(x0)
 
     np.testing.assert_allclose(
         hess(bf.apply), hess(circuit.apply), atol=1e-4
@@ -126,6 +126,6 @@ def test_remat_evolve_matches_and_grads():
     params = circuit.init_params(jax.random.PRNGKey(0)).reshape(-1)
     x = jax.random.uniform(jax.random.PRNGKey(1), (4, 4))
     np.testing.assert_allclose(bf.apply(params, x), ref.apply(params, x), atol=1e-6)
-    g1 = jax.grad(lambda p: jnp.sum(bf.apply(p, x) ** 2))(params)
-    g2 = jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2))(params)
+    g1 = jax.jit(jax.grad(lambda p: jnp.sum(bf.apply(p, x) ** 2)))(params)
+    g2 = jax.jit(jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2)))(params)
     np.testing.assert_allclose(g1, g2, atol=1e-5)

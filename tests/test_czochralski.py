@@ -121,7 +121,7 @@ def test_cz_residuals_finite_and_jittable(rng):
 
     val = float(loss(params))
     assert np.isfinite(val)
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     assert all(
         np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g)
     )

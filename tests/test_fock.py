@@ -89,7 +89,7 @@ def test_cv_layer_forward_and_grad(variant, rng):
     out = layer.apply(params, x)
     assert out.shape == (3, 2)
     assert np.all(np.isfinite(np.asarray(out)))
-    g = jax.grad(lambda p: jnp.sum(layer.apply(p, x) ** 2))(params)
+    g = jax.jit(jax.grad(lambda p: jnp.sum(layer.apply(p, x) ** 2)))(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     # photon-number readout is nonnegative for v1/v3

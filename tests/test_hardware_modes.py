@@ -36,8 +36,8 @@ def test_parameter_shift_matches_autodiff_exact(rng, ansatz):
     def loss_exact(p, xx):
         return jnp.sum(circ.apply(p, xx) ** 2)
 
-    gp_hw, gx_hw = jax.grad(loss_hw, argnums=(0, 1))(params, x)
-    gp_ex, gx_ex = jax.grad(loss_exact, argnums=(0, 1))(params, x)
+    gp_hw, gx_hw = jax.jit(jax.grad(loss_hw, argnums=(0, 1)))(params, x)
+    gp_ex, gx_ex = jax.jit(jax.grad(loss_exact, argnums=(0, 1)))(params, x)
     np.testing.assert_allclose(np.asarray(gp_hw), np.asarray(gp_ex), atol=2e-4)
     np.testing.assert_allclose(np.asarray(gx_hw), np.asarray(gx_ex), atol=2e-4)
 

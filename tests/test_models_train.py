@@ -22,7 +22,7 @@ def test_dv_solver_shapes_and_grads():
     x = jnp.ones((7, 3))
     out = model.apply(params, x)
     assert out.shape == (7, 1)
-    g = jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2))(params)
+    g = jax.jit(jax.grad(lambda p: jnp.sum(model.apply(p, x) ** 2)))(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     # quantum param grads are nonzero (the circuit is actually in the graph)

@@ -25,8 +25,8 @@ def _dv_apply(rng):
 def test_diffusion_fwd_matches_rev(rng):
     apply = _dv_apply(rng)
     X = jnp.asarray(rng.uniform(0.1, 0.9, (16, 3)).astype(np.float32))
-    u_r, res_r = rev.diffusion_operator(apply, X)
-    u_f, res_f = fwd.diffusion_operator_fwd(apply, X)
+    u_r, res_r = jax.jit(lambda Xp: rev.diffusion_operator(apply, Xp))(X)
+    u_f, res_f = jax.jit(lambda Xp: fwd.diffusion_operator_fwd(apply, Xp))(X)
     np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(res_f), np.asarray(res_r), rtol=2e-3, atol=2e-4)
 
@@ -97,7 +97,7 @@ def test_fwd_operator_trains(rng):
         _, res = fwd.diffusion_operator_fwd(lambda Xp: model.apply(p, Xp), X)
         return jnp.mean(res**2)
 
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     assert all(
         np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g)
     )

@@ -62,8 +62,12 @@ def test_fourier_solver_with_rbf_head_streams_match_fwd_operator():
     X = jnp.asarray(
         np.random.RandomState(5).uniform(0.1, 0.9, (8, 3)).astype(np.float32)
     )
-    u_ref, r_ref = diffusion_operator_fwd(lambda Xp: model.apply(params, Xp), X)
-    u_st, r_st = dv_diffusion_residual_streams(model, params, X)
+    u_ref, r_ref = jax.jit(
+        lambda Xp: diffusion_operator_fwd(lambda Xq: model.apply(params, Xq), Xp)
+    )(X)
+    u_st, r_st = jax.jit(
+        lambda p, Xp: dv_diffusion_residual_streams(model, p, Xp)
+    )(params, X)
     np.testing.assert_allclose(np.asarray(u_st), np.asarray(u_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(r_st), np.asarray(r_ref), rtol=5e-3, atol=5e-4)
 

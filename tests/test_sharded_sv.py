@@ -54,6 +54,6 @@ def test_gradients_through_sharded_engine():
     mesh = make_mesh(data=2, amp=4)
     sharded = make_sharded_circuit_apply(circ, mesh)
 
-    g_sharded = jax.grad(lambda p: jnp.sum(sharded(p, x) ** 2))(params)
-    g_ref = jax.grad(lambda p: jnp.sum(circ.apply(p, x) ** 2))(params)
+    g_sharded = jax.jit(jax.grad(lambda p: jnp.sum(sharded(p, x) ** 2)))(params)
+    g_ref = jax.jit(jax.grad(lambda p: jnp.sum(circ.apply(p, x) ** 2)))(params)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), atol=1e-4)

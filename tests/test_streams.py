@@ -22,8 +22,12 @@ def test_streams_match_autodiff(rng, kind, ansatz):
     params = model.init(jax.random.PRNGKey(0))
     X = jnp.asarray(rng.uniform(0.1, 0.9, (8, 3)).astype(np.float32))
 
-    u_ref, r_ref = diffusion_operator_fwd(lambda Xp: model.apply(params, Xp), X)
-    u_st, r_st = dv_diffusion_residual_streams(model, params, X)
+    u_ref, r_ref = jax.jit(
+        lambda Xp: diffusion_operator_fwd(lambda Xq: model.apply(params, Xq), Xp)
+    )(X)
+    u_st, r_st = jax.jit(
+        lambda p, Xp: dv_diffusion_residual_streams(model, p, Xp)
+    )(params, X)
     np.testing.assert_allclose(np.asarray(u_st), np.asarray(u_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(r_st), np.asarray(r_ref), rtol=5e-3, atol=5e-4)
 
@@ -42,8 +46,8 @@ def test_streams_gradients(rng):
         _, r = diffusion_operator_fwd(lambda Xp: model.apply(p, Xp), X)
         return jnp.mean(r**2)
 
-    g1 = jax.grad(loss_stream)(params)
-    g2 = jax.grad(loss_ref)(params)
+    g1 = jax.jit(jax.grad(loss_stream))(params)
+    g2 = jax.jit(jax.grad(loss_ref))(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-4)
 
