@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import gates
 from ..ops.circuit import DVCircuit
@@ -280,7 +280,7 @@ def make_sharded_circuit_apply(
         mesh=mesh,
         in_specs=(P(), P(data_axis, None)),
         out_specs=P(data_axis, None),
-        check_rep=False,
+        check_vma=False,
     )
 
 
