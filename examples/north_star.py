@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import zlib
 import json
 import sys
 import time
@@ -157,10 +158,11 @@ def main():
         "bcy0": TermSpec(dd.Sampler(box([[0, 0, 0], [1, 1, 0]]), dd.u), 10.0, third, "value"),
         "bcy1": TermSpec(dd.Sampler(box([[0, 0, 1], [1, 1, 1]]), dd.u), 10.0, third, "value"),
     }
-    key = jax.random.PRNGKey(1)
-
     def run_phase(apply_fn, params, lr, total_steps, budget_s, chunk, label,
                   residual_fn=None):
+        # distinct sample stream per phase (stage 2 must not replay the
+        # exact collocation batches stage 1 already consumed)
+        key = jax.random.fold_in(jax.random.PRNGKey(1), zlib.crc32(label.encode()))
         """Adam phase: compile outside the budget, then chunked scan until
         the wall-clock budget or the cosine horizon is reached."""
         optimizer = topt.make_optimizer(
@@ -194,8 +196,8 @@ def main():
     # tangent-stream residuals: mandatory at high qubit counts (nested AD
     # through a 2^16 state memory-caps the batch — physics/streams.py)
     use_streams = (
-        solver == "fourier" and not args.no_quantum and not args.supervised
-        and args.qubits >= 10
+        solver in ("fourier", "plain") and not args.no_quantum
+        and not args.supervised and args.qubits >= 10
     )
     residual_fn = (
         (lambda p, X: dv_diffusion_residual_streams(model, p, X))
@@ -263,6 +265,12 @@ def main():
         "points_per_sec": round(done * args.batch / train_time, 1),
     }
     if stage_info:
+        # the headline throughput must describe the QUANTUM train step, not
+        # the near-free zeroed-circuit stage-1 steps
+        result["points_per_sec"] = round(
+            stage_info["stage2_steps"] * args.batch
+            / max(stage_info["stage2_seconds"], 1e-9), 1,
+        )
         result.update(stage_info)
     print(json.dumps(result))
 

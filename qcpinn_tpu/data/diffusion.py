@@ -190,9 +190,14 @@ class MixtureSampler:
 
 
 def pulse_residual_sampler(
-    frac: float = 0.5, sigma: float = 0.12, func: Callable = r
+    frac: float = 0.5, sigma: float = 0.12, func: Optional[Callable] = None
 ) -> MixtureSampler:
-    """Residual sampler focused on the Gaussian pulse at (x, y) = (.5, .5)."""
+    """Residual sampler focused on the Gaussian pulse at (x, y) = (.5, .5).
+
+    Defaults to the *consistent* forcing :func:`r_true`; pass ``func=r``
+    explicitly for reference-defect parity experiments (see :func:`u_xx`)."""
+    if func is None:
+        func = r_true
     return MixtureSampler(
         _box([[0, 0, 0], [1, 1, 1]]),
         func,

@@ -63,9 +63,10 @@ class DVFourierSolver:
     def use_pallas(
         self, interpret: bool = False, backend: str = "auto"
     ) -> "DVFourierSolver":
-        """Pallas fused-circuit backend for first-order paths (see
-        DVSolver.use_pallas); the tangent-stream residual composes with it.
-        ``auto`` picks the loop-form kernel (16q-capable) for n >= 10."""
+        """Fused-circuit backend (see DVSolver.use_pallas): ``auto`` picks
+        the MXU block engine (any-order AD) for n >= 10; the Pallas
+        backends are first-order reverse and compose with the
+        tangent-stream residuals."""
         from ..ops.pallas_loop import make_fused_backend
 
         try:
@@ -110,6 +111,7 @@ class DVFourierSolver:
             params["rbf"] = nc.rbf_init(
                 ks[4], self.in_dim, self.rbf_count,
                 centers=self.rbf_centers, width=self.rbf_width,
+                out_dim=self.out_dim,
             )
         return params
 

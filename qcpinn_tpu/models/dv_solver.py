@@ -43,11 +43,13 @@ class DVSolver:
         self._fused = None
 
     def use_pallas(self, interpret: bool = False, backend: str = "auto") -> "DVSolver":
-        """Switch the quantum block to a Pallas fused-circuit backend
-        (first-order differentiable only — data losses, inference,
-        finetune; PDE-residual training composes via tangent streams,
-        physics/streams.py). ``backend``: auto | loop | unrolled — auto
-        picks the loop-form kernel (16q-capable) for n >= 10.
+        """Switch the quantum block to a fused-circuit backend.
+        ``backend``: auto | block | loop | unrolled — auto picks the MXU
+        block-fused engine (any-order AD) for n >= 10, the unrolled Pallas
+        kernels otherwise. The Pallas backends (loop/unrolled) are
+        first-order reverse only — PDE-residual training composes with
+        them via tangent streams (physics/streams.py); the block backend
+        also supports the nested-AD operators directly.
 
         Degrades gracefully (the reference's device-fallback-ladder analog,
         nn/DVQuantumLayer.py:100-131): if no fused backend can be built

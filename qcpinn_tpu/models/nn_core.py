@@ -91,6 +91,7 @@ def rbf_init(
     width: float = 8.0,
     lo: float = 0.0,
     hi: float = 1.0,
+    out_dim: int = 1,
 ) -> dict:
     """Anisotropic Gaussian-RBF head parameters.
 
@@ -110,7 +111,7 @@ def rbf_init(
         "w": width
         * (1.0 + 0.25 * jax.random.normal(kw, (count, in_dim), dtype=jnp.float32)),
         "v": jnp.zeros((count, in_dim), dtype=jnp.float32),
-        "a": jnp.full((count,), 0.1, dtype=jnp.float32),
+        "a": jnp.full((count, out_dim), 0.1, dtype=jnp.float32),
     }
 
 
@@ -128,12 +129,14 @@ def rbf_centers_from_samples(
 
 
 def rbf_apply(params: dict, x: Array) -> Array:
-    """[B, in] -> [B, 1] additive head value."""
+    """[B, in] -> [B, out] additive head value (out from a's trailing dim;
+    a 1-D ``a`` yields [B, 1])."""
     d = x[:, None, :] - params["c"][None, :, :]
     q = jnp.sum((params["w"][None, :, :] * d) ** 2, axis=-1) + jnp.sum(
         params["v"][None, :, :] * x[:, None, :], axis=-1
     )
-    return (jnp.exp(-q) @ params["a"])[:, None]
+    out = jnp.exp(-q) @ params["a"]
+    return out[:, None] if out.ndim == 1 else out
 
 
 def count_params(params) -> int:

@@ -483,12 +483,15 @@ def _tile_rows(lp: LoopProgram) -> int:
 
 
 def _kernels(lp: LoopProgram, b: int, interpret: bool):
+    # keyed by id(lp) but the entry PINS lp, so a live cache entry keeps
+    # its LoopProgram alive and the id cannot be recycled to alias a
+    # different program's kernels
     key = (id(lp), b, interpret)
     hit = _KERNEL_CACHE.get(key)
     if hit is None:
-        hit = _build_kernels(lp, b, interpret)
+        hit = (lp, _build_kernels(lp, b, interpret))
         _KERNEL_CACHE[key] = hit
-    return hit
+    return hit[1]
 
 
 def _build_kernels(lp: LoopProgram, b: int, interpret: bool):

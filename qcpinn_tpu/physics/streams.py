@@ -190,8 +190,16 @@ def dv_diffusion_residual_streams(
     # the Pallas reverse-sweep backend composes here: streams only need
     # first-order reverse through the evolution
     fused = getattr(model, "_fused", None)
-    # the sharded adapter exposes no evolve; streams then use the XLA engine
     evolve_fn = getattr(fused, "evolve", None)
+    if fused is not None and evolve_fn is None:
+        import warnings
+
+        warnings.warn(
+            "model's fused backend exposes no evolve(); the derivative "
+            "streams will run on the UNSHARDED XLA engine — the 6x-wider "
+            "stream batch does not get the backend's memory benefits",
+            stacklevel=2,
+        )
     z, dz, d2z = circuit_z_streams(circuit, params["q"], a, d1, d2, evolve_fn)
 
     # decoder chain rule via nested jvp over the (z, extra) feature space

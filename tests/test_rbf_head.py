@@ -21,7 +21,7 @@ def test_rbf_apply_matches_formula():
     for i in range(6):
         for k in range(4):
             q = np.sum((w[k] * (x[i] - c[k])) ** 2) + np.sum(v[k] * np.asarray(x[i]))
-            expect[i, 0] += a[k] * np.exp(-q)
+            expect[i, 0] += float(a[k].reshape(())) * np.exp(-q)
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
 
 
