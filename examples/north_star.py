@@ -125,6 +125,16 @@ def main():
         )
     else:
         model = {"plain": DVSolver, "classical": ClassicalSolver}[solver](cfg)
+    # tangent-stream residuals: mandatory at high qubit counts (nested AD
+    # through a 2^16 state memory-caps the batch — physics/streams.py).
+    # Computed BEFORE backend selection: when streams are off and the
+    # residual term is active, the residual runs forward-mode
+    # (diffusion_operator_fwd) through the quantum block, which the
+    # custom_vjp Pallas kernels cannot support — only the block engine can.
+    use_streams = (
+        solver in ("fourier", "plain") and not args.no_quantum
+        and not args.supervised and args.qubits >= 10
+    )
     if solver != "classical" and args.no_quantum:
         class _IdentityQ:  # bisection probe: bypass the circuit entirely
             def apply(self, qp, x, **kw):
@@ -132,7 +142,16 @@ def main():
 
         model._fused = _IdentityQ()
     elif solver != "classical" and args.backend != "xla":
-        model.use_pallas(backend=args.backend)
+        backend = args.backend
+        need_fwd_ad = (not args.supervised) and not use_streams
+        if need_fwd_ad and backend in ("auto", "loop", "unrolled"):
+            if backend != "auto":
+                print(
+                    f"[north-star] backend {backend!r} is reverse-only; the "
+                    "residual path needs forward-mode AD — using 'block'"
+                )
+            backend = "block"
+        model.use_pallas(backend=backend)
     params = model.init(jax.random.PRNGKey(cfg.seed))
 
     box = dd._box
@@ -193,12 +212,6 @@ def main():
         return params, done, time.time() - t0, losses
 
     budget = args.minutes * 60.0
-    # tangent-stream residuals: mandatory at high qubit counts (nested AD
-    # through a 2^16 state memory-caps the batch — physics/streams.py)
-    use_streams = (
-        solver in ("fourier", "plain") and not args.no_quantum
-        and not args.supervised and args.qubits >= 10
-    )
     residual_fn = (
         (lambda p, X: dv_diffusion_residual_streams(model, p, X))
         if use_streams else None

@@ -135,7 +135,10 @@ def rbf_apply(params: dict, x: Array) -> Array:
     q = jnp.sum((params["w"][None, :, :] * d) ** 2, axis=-1) + jnp.sum(
         params["v"][None, :, :] * x[:, None, :], axis=-1
     )
-    out = jnp.exp(-q) @ params["a"]
+    # the learnable linear term v.x is unbounded below; clamp the exponent
+    # so a few bad optimizer steps on v cannot overflow exp(-q) to inf and
+    # poison training (normal operation never approaches the clamp)
+    out = jnp.exp(-jnp.maximum(q, -30.0)) @ params["a"]
     return out[:, None] if out.ndim == 1 else out
 
 

@@ -38,6 +38,7 @@ residuals). Compiled mode needs n >= 10 (HI >= 8 sublanes); interpret mode
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import List, Optional, Tuple
 
@@ -472,7 +473,9 @@ def _backward_kernel(lp: LoopProgram):
 
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=14 * 1024 * 1024)
 
-_KERNEL_CACHE: dict = {}
+_KERNEL_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_KERNEL_CACHE_MAX = 32  # LRU cap: long-lived processes constructing many
+# LoopFusedCircuit instances / batch sizes must not pin kernels forever
 
 
 def _tile_rows(lp: LoopProgram) -> int:
@@ -491,6 +494,10 @@ def _kernels(lp: LoopProgram, b: int, interpret: bool):
     if hit is None:
         hit = (lp, _build_kernels(lp, b, interpret))
         _KERNEL_CACHE[key] = hit
+        while len(_KERNEL_CACHE) > _KERNEL_CACHE_MAX:
+            _KERNEL_CACHE.popitem(last=False)
+    else:
+        _KERNEL_CACHE.move_to_end(key)
     return hit[1]
 
 
@@ -587,8 +594,10 @@ def make_fused_backend(circuit: DVCircuit, interpret: bool = False,
     - ``unrolled`` (:mod:`pallas_sv`): straight-line Mosaic code; fine for
       7 <= n <= 12, and the only *Pallas* option for 7 <= n < 10.
     ``auto`` chooses block for n >= 10 (MXU tiles of >= 2^5 x 2^5 per
-    block), unrolled otherwise. Raises if no backend supports the circuit
-    (callers degrade to the XLA gate-sweep path)."""
+    block); below that it picks loop under ``interpret=True`` (tests — the
+    loop kernel has no sublane minimum in interpret mode) and unrolled
+    compiled. Raises if no backend supports the circuit (callers degrade
+    to the XLA gate-sweep path)."""
     if backend == "auto":
         backend = "block" if circuit.n >= 10 else ("loop" if interpret else "unrolled")
     if backend == "block":

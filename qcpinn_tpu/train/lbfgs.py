@@ -8,8 +8,10 @@ orders of magnitude of accuracy). TPU-native shape: the whole refinement is
 one ``lax.scan`` of jitted L-BFGS steps (optax.lbfgs with zoom linesearch),
 so it runs on-chip with no host round-trips.
 
-Used by examples/north_star.py for the <1e-3 rel-L2 target and available
-to any trainer via ``lbfgs_refine``.
+Available to any trainer via ``lbfgs_refine``. (The shipped north-star
+recipe does NOT use it — its accuracy comes from the additive RBF head,
+pulse-focused sampling, and classical staging; see PARITY.md. L-BFGS was
+part of the accuracy exploration and is kept as a general tool.)
 """
 
 from __future__ import annotations
