@@ -73,19 +73,27 @@ class CzQuantumLayer:
         shots: Optional[int] = None,
         key: Optional[jax.Array] = None,
         noise: Optional[measure.NoiseModel] = None,
+        enc_off: Optional[Array] = None,
+        reup_off: Optional[Array] = None,
     ) -> Array:
+        """``enc_off [n]`` / ``reup_off [layers, n]`` add to the RY-encoding
+        angles / per-wire reupload RZ angles — the per-occurrence shifts the
+        parameter-shift input gradient needs (train/hardware_grad.py)."""
         n = self.n
         bits = jnp.asarray(bit_matrix(n))
         brick = jnp.asarray(_cz_brickwork_phases(n))
         state = sv.zero_state(x.shape[0], n)
         for w in range(n):
-            state = sv.apply_1q(state, n, w, gates.ry(x[:, w]))
+            ang = x[:, w] if enc_off is None else x[:, w] + enc_off[w]
+            state = sv.apply_1q(state, n, w, gates.ry(ang))
         for layer in range(self.layers):
             # data reupload: RZ(0.5 * x[(i+layer) % n]) on wire i — one
             # batched diagonal phase op (phi = theta.b - sum(theta)/2)
             theta = 0.5 * jnp.stack(
                 [x[:, (i + layer) % n] for i in range(n)], axis=1
             )  # [B, n]
+            if reup_off is not None:
+                theta = theta + reup_off[layer][None, :]
             phi = jnp.einsum(
                 "bn,sn->bs", theta, bits, precision=jax.lax.Precision.HIGHEST
             ) - 0.5 * jnp.sum(theta, axis=1, keepdims=True)
@@ -143,10 +151,17 @@ class Hybrid16QPINN:
         shots: Optional[int] = None,
         key: Optional[jax.Array] = None,
         noise: Optional[measure.NoiseModel] = None,
+        q_apply=None,
     ) -> Array:
+        """``q_apply(weights, q_in, key) -> [B, n]`` overrides the circuit
+        call — how the parameter-shift estimator (hardware_grad.
+        make_hw_apply_cz) plugs in for full-scope shot-noise training."""
         h = self.encode(params, x)
         q_in = jnp.pi * jnp.tanh(nc.mlp_apply(params["to_quantum"], h))
-        q_out = self.q.apply(params["q"], q_in, shots=shots, key=key, noise=noise)
+        if q_apply is not None:
+            q_out = q_apply(params["q"], q_in, key)
+        else:
+            q_out = self.q.apply(params["q"], q_in, shots=shots, key=key, noise=noise)
         if detach_quantum:
             q_out = jax.lax.stop_gradient(q_out)
         c_skip = jnp.tanh(nc.mlp_apply(params["classical_skip"], h))

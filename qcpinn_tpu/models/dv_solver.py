@@ -89,6 +89,25 @@ class DVSolver:
             "post": nc.mlp_init(k_post, self.dims_post),
         }
 
+    def hw_apply_fn(self, shots: Optional[int]):
+        """Build ``apply(params, x, key) -> [B, out]`` whose quantum block
+        uses the parameter-shift estimator (train/hardware_grad.py) — the
+        hardware-fidelity training path: shot-sampled measurements,
+        gradients from shifted re-evaluations (the reference's
+        diff_method="parameter-shift", nn/DVQuantumLayer.py:140). Gradients
+        flow into the quantum weights AND through the circuit inputs into
+        the preprocessor, composing with ordinary autodiff elsewhere."""
+        from ..train.hardware_grad import make_hw_apply
+
+        hw = make_hw_apply(self.circuit, shots)
+
+        def apply(params, x, key):
+            pre = nc.mlp_apply(params["pre"], x)
+            z = hw(params["q"], pre, key)
+            return nc.mlp_apply(params["post"], z)
+
+        return apply
+
     def apply(
         self,
         params: dict,

@@ -13,12 +13,16 @@ coverage-chosen calibration subset, head-only (gradient-masked) or full
 scope. The checkpoint carries the normalization stats — the load-bearing
 handoff artifact (:443-464).
 
-Deviations from the reference (documented): batches are drop_last=True so
+Finetune gradients: head scope differentiates the exact head through the
+stop-gradient sampled measurement (the reference's freeze_for_ibm_head_tuning
+path); full scope routes the circuit through the parameter-shift estimator
+(train/hardware_grad.make_hw_apply_cz — the reference's
+diff_method="parameter-shift" QNode), so quantum weights and the classical
+trunk both receive real shot-noise gradients.
+
+Deviation from the reference (documented): batches are drop_last=True so
 the epoch is a fixed-shape scan (the reference keeps the ragged final batch;
-points land in other epochs via reshuffling), and the finetune gradient uses
-stop_gradient through the sampled measurement with head-only scope (the
-head's gradient is exact; the reference's parameter-shift path is available
-via train/hardware_grad.py for full-scope runs).
+points land in other epochs via reshuffling).
 """
 
 from __future__ import annotations
@@ -227,12 +231,21 @@ def run_finetune(
     xb = jnp.asarray(x_c)
     yb = jnp.asarray(y_c)
 
+    q_apply = None
     if cfg.train_scope == "head":
         mask = Hybrid16QPINN.head_param_filter(params)
         detach_quantum = True
     elif cfg.train_scope == "full":
+        # full scope genuinely trains the circuit: shot-sampled measurements
+        # are re-evaluated at shifted parameters (the reference's
+        # diff_method="parameter-shift" QNode, CG...16qubits.py:557-569) —
+        # gradients reach the quantum weights AND flow through the inputs
+        # into the classical trunk
+        from .hardware_grad import make_hw_apply_cz
+
         mask = jax.tree_util.tree_map(lambda _: True, params)
         detach_quantum = False
+        q_apply = make_hw_apply_cz(model.q, cfg.shots)
     else:
         raise ValueError(f"unsupported train_scope {cfg.train_scope!r}")
 
@@ -243,7 +256,8 @@ def run_finetune(
     def step(params, opt_state, key):
         def loss_fn(p):
             pred = model.apply(
-                p, xb, shots=cfg.shots, key=key, detach_quantum=detach_quantum
+                p, xb, shots=cfg.shots, key=key,
+                detach_quantum=detach_quantum, q_apply=q_apply,
             )
             return jnp.mean((pred - yb) ** 2)
 

@@ -138,6 +138,112 @@ def make_hw_apply(circuit: DVCircuit, shots: Optional[int]):
     return hw_apply
 
 
+def make_hw_apply_cz(qlayer, shots: Optional[int], noise=None):
+    """Parameter-shift estimator for the Czochralski data-reuploading
+    circuit (models/czochralski.py CzQuantumLayer): ``hw_apply(weights, x,
+    key) -> [B, n]`` with a custom VJP built from shift rules — the
+    TPU-native equivalent of the reference's full-scope IBM fine-tuning
+    QNode (CG_HQPINN_IBMtest_16qubits.py:557, diff_method="parameter-shift").
+
+    Shift rules:
+    - Rot weights (L, n, 3): all two-term (gap-1 generators), shift pi/2.
+    - inputs: feature j occurs once as the RY(x_j) encoding (two-term) and
+      once per layer l as the reupload RZ(0.5 x_j) on wire (j - l) mod n —
+      the product rule sums a two-term estimate per occurrence, the
+      reupload's inner derivative contributing the extra factor 1/2.
+
+    Every shifted evaluation draws fresh shot noise (separate hardware
+    jobs). ``shots=None`` validates the rules against exact autodiff.
+    """
+    L, n = qlayer.layers, qlayer.n
+    half = np.pi / 2
+
+    def evaluate(weights, x, key, enc_off=None, reup_off=None):
+        return qlayer.apply(
+            weights,
+            x,
+            shots=shots,
+            key=(key if shots is not None else None),
+            noise=noise,
+            enc_off=enc_off,
+            reup_off=reup_off,
+        )
+
+    def weight_jacobian(weights, x, key):
+        """dZ/dweights -> [L*n*3, B, n]."""
+        flat = weights.reshape(-1)
+        idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+
+        def one(i, sgn, k):
+            w = flat.at[i].add(sgn * half).reshape(L, n, 3)
+            return evaluate(w, x, k)
+
+        keys_p = jax.vmap(lambda i: jax.random.fold_in(key, 2 * i))(idx)
+        keys_m = jax.vmap(lambda i: jax.random.fold_in(key, 2 * i + 1))(idx)
+        plus = jax.vmap(lambda i, k: one(i, +1.0, k))(idx, keys_p)
+        minus = jax.vmap(lambda i, k: one(i, -1.0, k))(idx, keys_m)
+        return (plus - minus) / 2.0
+
+    def input_jacobian(weights, x, key):
+        """dZ/dx -> [n_features, B, n] via per-occurrence shifts."""
+        k_enc, k_re = jax.random.split(key)
+
+        # encoding occurrences: RY(x_j) on wire j
+        jdx = jnp.arange(n, dtype=jnp.int32)
+
+        def enc_one(j, sgn, k):
+            off = jnp.zeros((n,), jnp.float32).at[j].set(sgn * half)
+            return evaluate(weights, x, k, enc_off=off)
+
+        kp = jax.vmap(lambda j: jax.random.fold_in(k_enc, 2 * j))(jdx)
+        km = jax.vmap(lambda j: jax.random.fold_in(k_enc, 2 * j + 1))(jdx)
+        plus = jax.vmap(lambda j, k: enc_one(j, +1.0, k))(jdx, kp)
+        minus = jax.vmap(lambda j, k: enc_one(j, -1.0, k))(jdx, km)
+        jac = (plus - minus) / 2.0  # [n, B, n]
+
+        # reupload occurrences: layer l = m // n, feature j = m % n lands
+        # on wire (j - l) mod n; theta = x_j / 2 gives the extra 1/2
+        mdx = jnp.arange(L * n, dtype=jnp.int32)
+
+        def reup_one(m, sgn, k):
+            l, j = m // n, m % n
+            off = jnp.zeros((L, n), jnp.float32).at[l, (j - l) % n].set(sgn * half)
+            return evaluate(weights, x, k, reup_off=off)
+
+        kp = jax.vmap(lambda m: jax.random.fold_in(k_re, 2 * m))(mdx)
+        km = jax.vmap(lambda m: jax.random.fold_in(k_re, 2 * m + 1))(mdx)
+        rplus = jax.vmap(lambda m, k: reup_one(m, +1.0, k))(mdx, kp)
+        rminus = jax.vmap(lambda m, k: reup_one(m, -1.0, k))(mdx, km)
+        return jac.at[mdx % n].add(0.25 * (rplus - rminus))
+
+    @jax.custom_vjp
+    def hw_apply(weights, x, key):
+        return evaluate(weights, x, key)
+
+    def fwd(weights, x, key):
+        return hw_apply(weights, x, key), (weights, x, key)
+
+    def bwd(res, g):
+        weights, x, key = res
+        kw, kx = jax.random.split(jax.random.fold_in(key, 11))
+        jac_w = weight_jacobian(weights, x, kw)  # [K, B, n]
+        d_w = jnp.einsum("kbn,bn->k", jac_w, g).reshape(L, n, 3)
+        jac_x = input_jacobian(weights, x, kx)  # [F, B, n]
+        d_x = jnp.einsum("fbn,bn->bf", jac_x, g)
+        return d_w, d_x, None
+
+    hw_apply.defvjp(fwd, bwd)
+    return hw_apply
+
+
+def evals_per_step_cz(qlayer) -> int:
+    """Circuit-execution cost per full-scope Cz finetune step: forward +
+    2 per Rot component + 2 per encoding feature + 2 per reupload
+    occurrence."""
+    L, n = qlayer.layers, qlayer.n
+    return 1 + 2 * (L * n * 3) + 2 * n + 2 * (L * n)
+
+
 def evals_per_step(circuit: DVCircuit) -> int:
     """Circuit-execution cost accounting (readme.md:166-171,
     cg-hqpinn/...:711-718): forward + 2 per two-term param + 4 per four-term

@@ -9,6 +9,13 @@ early stopping (test_hqpinn_cg.py:180-280).
   when improvement < 2 sigma (:266-273); double the shots (512 -> ... ->
   4096) and retry, declaring convergence when shots are exhausted
   (:275-280).
+
+Stage 2's losses MUST differentiate through the parameter-shift estimator
+(the reference fine-tunes via param-shift, test_hqpinn_cg.py:233-254):
+gradients through the plain shot-sampled measurement are identically zero
+(ops/measure.py stop_gradient), so a naive shots= loss silently applies
+zero updates. Build the loss with :func:`make_hw_data_loss` (or any loss
+over a solver's ``hw_apply_fn``) so masked quantum gradients are real.
 """
 
 from __future__ import annotations
@@ -82,6 +89,23 @@ def train_classical_only(
     # invariant, not just intent: quantum params untouched
     np.testing.assert_array_equal(np.asarray(params[quantum_key]), np.asarray(q_before))
     return params, history
+
+
+def make_hw_data_loss(hw_apply_fn: Callable, X, Y) -> Callable:
+    """Build ``make_loss(shots)`` for :func:`train_quantum_layerwise` from a
+    solver's hardware-apply factory (e.g. ``DVSolver.hw_apply_fn``): the
+    returned losses evaluate under shot noise AND differentiate via the
+    parameter-shift rules, so the layer-masked quantum gradients are real."""
+
+    def make_loss(shots):
+        apply = hw_apply_fn(shots)
+
+        def loss(params, key):
+            return jnp.mean((apply(params, X, key) - Y) ** 2)
+
+        return loss
+
+    return make_loss
 
 
 def estimate_loss_noise(
@@ -163,7 +187,8 @@ def train_quantum_layerwise(
                     stopped_early = True
                     break
             layer_log["levels"].append(
-                {"shots": shots, "sigma": sigma, "best": best, "early_stop": stopped_early}
+                {"shots": shots, "sigma": sigma, "start": start_mean,
+                 "best": best, "early_stop": stopped_early}
             )
             log(
                 f"[layerwise] layer {layer_idx} shots={shots}: best={best:.4e} "

@@ -186,3 +186,22 @@ def test_two_phase_pipeline_smoke(rng):
     # head-only scope: quantum weights frozen, post head moved
     np.testing.assert_array_equal(np.asarray(params2["q"]), q_before)
     assert np.abs(np.asarray(params2["post"][0]["w"]) - post_before).max() > 0
+
+
+def test_finetune_full_scope_trains_quantum(rng):
+    """train_scope='full' routes the circuit through the parameter-shift
+    estimator: quantum weights receive REAL shot-noise gradients (not the
+    zero stop_gradient path) and the calibration loss drops."""
+    model = Hybrid16QPINN(n_qubits=3, n_layers=1)
+    params = model.init(jax.random.PRNGKey(0))
+    X = rng.uniform(0, 1, (24, 2)).astype(np.float32)
+    Y = rng.normal(0, 0.3, (24, 5)).astype(np.float32)
+    stats = DataStats(1, 1, 1, 0, 1, 1.0)
+    cfg = CzConfig(
+        n_qubits=3, n_layers=1, finetune_epochs=15, finetune_lr=3e-3,
+        shots=2048, calib_size=8, train_scope="full", log_every=100,
+    )
+    q0 = np.asarray(params["q"])
+    p2, hist = run_finetune(model, params, X, Y, stats, cfg)
+    assert np.abs(np.asarray(p2["q"]) - q0).max() > 0
+    assert min(hist) < 0.2 * hist[0], hist[:3] + hist[-3:]

@@ -10,11 +10,17 @@ import numpy as np
 import pytest
 
 from qcpinn_tpu.ops import DVCircuit, NoiseModel
-from qcpinn_tpu.train.hardware_grad import evals_per_step, make_hw_apply
+from qcpinn_tpu.train.hardware_grad import (
+    evals_per_step,
+    evals_per_step_cz,
+    make_hw_apply,
+    make_hw_apply_cz,
+)
 from qcpinn_tpu.train.spsa import SPSAConfig, make_spsa_trainer
 from qcpinn_tpu.train.staged import (
     StagedConfig,
     estimate_loss_noise,
+    make_hw_data_loss,
     train_classical_only,
     train_quantum_layerwise,
 )
@@ -59,10 +65,70 @@ def test_parameter_shift_with_shots_is_unbiased(rng):
     assert err < 0.05, err
 
 
+def test_cz_parameter_shift_matches_autodiff_exact(rng):
+    """The Cz data-reuploading circuit's shift rules (Rot weights two-term;
+    inputs via per-occurrence encode-RY + reupload-RZ shifts) must reproduce
+    exact autodiff at shots=None."""
+    from qcpinn_tpu.models.czochralski import CzQuantumLayer
+
+    q = CzQuantumLayer(n_qubits=3, n_layers=2)
+    w = q.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(-np.pi, np.pi, (4, 3)).astype(np.float32))
+    hw = make_hw_apply_cz(q, shots=None)
+    key = jax.random.PRNGKey(1)
+
+    gw_h, gx_h = jax.jit(
+        jax.grad(lambda wi, xi: jnp.sum(hw(wi, xi, key) ** 2), argnums=(0, 1))
+    )(w, x)
+    gw_e, gx_e = jax.jit(
+        jax.grad(lambda wi, xi: jnp.sum(q.apply(wi, xi) ** 2), argnums=(0, 1))
+    )(w, x)
+    np.testing.assert_allclose(np.asarray(gw_h), np.asarray(gw_e), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gx_h), np.asarray(gx_e), atol=2e-4)
+
+
+def test_layerwise_parameter_shift_learns_beyond_noise_floor():
+    """The wired stage-2 path (hw_apply_fn -> make_hw_data_loss ->
+    train_quantum_layerwise) must actually move the quantum weights and cut
+    the loss by much more than the measured shot-noise floor — guarding
+    against the zero-gradient stop_gradient trap."""
+    from qcpinn_tpu.config import QCPINNConfig
+    from qcpinn_tpu.models import DVSolver
+
+    cfg = QCPINNConfig(
+        num_qubits=2, num_quantum_layers=2, classic_network=(2, 6, 1),
+        q_ansatz="cascade", seed=1,
+    )
+    model = DVSolver(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # target differs ONLY in quantum weights: the classical nets are shared,
+    # so any loss reduction must come from real quantum gradients
+    tq = params["q"] + 0.7 * jax.random.normal(jax.random.PRNGKey(5), params["q"].shape)
+    X = jax.random.uniform(jax.random.PRNGKey(9), (16, 2), minval=-1, maxval=1)
+    Y = model.apply(dict(params, q=tq), X)
+
+    make_loss = make_hw_data_loss(model.hw_apply_fn, X, Y)
+    scfg = StagedConfig(
+        layer_epochs=10, initial_shots=1024, max_shots=1024,
+        noise_evals=4, lr_quantum=0.1, seed=0,
+    )
+    params2, report = train_quantum_layerwise(make_loss, params, num_layers=2, cfg=scfg)
+    assert float(jnp.abs(params2["q"] - params["q"]).max()) > 0.05
+    first = report[0]["levels"][0]
+    assert first["start"] - first["best"] > 2.0 * first["sigma"], first
+    exact0 = float(jnp.mean((model.apply(params, X) - Y) ** 2))
+    exact1 = float(jnp.mean((model.apply(params2, X) - Y) ** 2))
+    assert exact1 < 0.5 * exact0, (exact0, exact1)
+
+
 def test_evals_per_step_accounting():
     circ = DVCircuit(4, 1, "cascade")  # 8 two-term (rx+rz) + 4 crx + 4 inputs
     # 1 + (8*2 + 4*4) + 2*4 = 1 + 32 + 8 = 41
     assert evals_per_step(circ) == 41
+    from qcpinn_tpu.models.czochralski import CzQuantumLayer
+
+    # 1 + 2*(2*16*3 Rot) + 2*16 encode + 2*(2*16) reupload = 1+192+32+64
+    assert evals_per_step_cz(CzQuantumLayer(16, 2)) == 289
 
 
 def test_spsa_minimizes_quadratic():
@@ -113,12 +179,12 @@ def _toy_problem():
         z = circ.apply(params["q"], h, shots=shots, key=key)
         return nc.mlp_apply(params["post"], z)
 
-    return init, apply, X, Y
+    return init, apply, circ, X, Y
 
 
 @pytest.mark.slow
 def test_staged_classical_then_layerwise(rng):
-    init, apply, X, Y = _toy_problem()
+    init, apply, _toy_circ, X, Y = _toy_problem()
     params = init(jax.random.PRNGKey(0))
 
     def exact_loss(p, key):
@@ -137,18 +203,29 @@ def test_staged_classical_then_layerwise(rng):
     assert hist[-1] < hist[0]
 
     def make_loss(shots):
+        # stage 2 differentiates via parameter-shift (hardware path) — a
+        # plain shots= loss would see zero quantum gradients
+        import qcpinn_tpu.models.nn_core as nc
+
+        hw = make_hw_apply(_toy_circ, shots)
+
         def loss(p, key):
-            return jnp.mean((apply(p, X, shots=shots, key=key) - Y) ** 2)
+            h = nc.mlp_apply(p["pre"], X)
+            z = hw(p["q"], h, key)
+            pred = nc.mlp_apply(p["post"], z)
+            return jnp.mean((pred - Y) ** 2)
 
         return loss
 
     pre_before = jax.tree_util.tree_leaves(params["pre"])
+    q_before = np.asarray(params["q"])
     params, report = train_quantum_layerwise(
         make_loss, params, num_layers=3, cfg=cfg
     )
-    # classical params untouched in stage 2
+    # classical params untouched in stage 2; quantum params genuinely move
     for a, b in zip(pre_before, jax.tree_util.tree_leaves(params["pre"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(params["q"]) - q_before).max() > 0
     # all 3 layers visited, reverse order, shots escalate to max
     assert [r["layer"] for r in report] == [2, 1, 0]
     assert report[0]["levels"][-1]["shots"] == 512
