@@ -42,7 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--print-every", type=int, default=500)
     t.add_argument("--scheduler", default="plateau", choices=["plateau", "cosine", "none"])
     t.add_argument("--shots", type=int, default=None,
-                   help="shot-noise simulation mode (hardware fidelity)")
+                   help="shot-noise simulation mode (hardware fidelity); "
+                        "takes effect with --gradient-mode parameter-shift "
+                        "or spsa (backprop trains analytic, as the "
+                        "reference's AER mode)")
+    t.add_argument("--gradient-mode", default="backprop",
+                   choices=["backprop", "parameter-shift", "spsa"],
+                   help="quantum gradient path (readme.md:166-171): "
+                        "backprop = analytic simulator; parameter-shift = "
+                        "shot-sampled shifted evaluations on value terms; "
+                        "spsa = 2-eval zeroth-order updates")
     t.add_argument("--noise-depolarizing", type=float, default=0.0)
     t.add_argument("--noise-readout", type=float, default=0.0)
     t.add_argument("--output-dir", default="runs")
@@ -115,6 +124,7 @@ def cmd_train(args) -> int:
         print_every=args.print_every,
         scheduler=args.scheduler,
         shots=args.shots,
+        gradient_mode=args.gradient_mode,
         noise_depolarizing=args.noise_depolarizing,
         noise_readout=args.noise_readout,
         output_dir=args.output_dir,

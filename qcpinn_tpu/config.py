@@ -61,6 +61,8 @@ class QCPINNConfig:
             raise ValueError(f"unknown solver {self.solver!r}")
         if self.encoding not in ("angle", "amplitude"):
             raise ValueError(f"unknown encoding {self.encoding!r}")
+        if self.gradient_mode not in ("backprop", "parameter-shift", "spsa"):
+            raise ValueError(f"unknown gradient_mode {self.gradient_mode!r}")
 
     @property
     def effective_grad_clip(self) -> float:

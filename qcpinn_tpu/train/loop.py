@@ -79,6 +79,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
     residual_fn: Optional[Callable] = None,
+    shots_apply: Optional[Callable] = None,
 ):
     """Build (init_state, step_fn, scan_fn).
 
@@ -88,9 +89,26 @@ def make_train_step(
     operator for 'residual' terms — this is how the tangent-stream
     residuals (physics/streams.py, params-structured) plug into the same
     jitted step as the generic nested-AD operators.
+
+    ``shots_apply(params, X, key) -> [B, out]`` replaces ``model_apply``
+    for 'value' terms — the hardware-fidelity forward (shot-sampled, e.g.
+    a solver's ``hw_apply_fn`` with parameter-shift VJP). Residual terms
+    always run the exact simulator: state-derivative residuals are not a
+    hardware observable, matching the reference where hardware stages
+    train data/boundary losses only (readme.md:166-171).
+
+    ``config.gradient_mode == "spsa"`` switches the update from
+    value_and_grad to a 2-evaluation SPSA estimate of the full weighted
+    loss (train/spsa.py) — composes with any loss, including shot-sampled
+    value terms.
     """
     names = tuple(terms.keys())
     use_plateau = config.scheduler == "plateau"
+    use_spsa = config.gradient_mode == "spsa"
+    if use_spsa:
+        from .spsa import SPSAConfig, spsa_step
+
+        spsa_cfg = SPSAConfig(a=config.lr)
 
     def constrain(x):
         if mesh is not None:
@@ -99,9 +117,9 @@ def make_train_step(
             )
         return x
 
-    def loss_fn(params, batches):
+    def loss_fn(params, batches, k_shot):
         per_term = {}
-        for name in names:
+        for i, name in enumerate(names):
             X, y = batches[name]
             if terms[name].kind == "residual":
                 if residual_fn is not None:
@@ -109,27 +127,41 @@ def make_train_step(
                 else:
                     apply = lambda Xp: model_apply(params, Xp)
                     _, pred = operator(apply, X)
+            elif shots_apply is not None:
+                pred = shots_apply(params, X, jax.random.fold_in(k_shot, i))
             else:
                 pred = model_apply(params, X)
             per_term[name] = L.mse(pred, y)
         total = sum(terms[n].weight * per_term[n] for n in names)
         return total, per_term
 
-    def step_fn(state_tuple, key):
+    def step_fn(state_tuple, xs):
         params, opt_state, sched = state_tuple
-        keys = jax.random.split(key, len(names))
+        key, step_id = xs
+        k_batch, k_shot, k_spsa = jax.random.split(key, 3)
+        keys = jax.random.split(k_batch, len(names))
         batches = {}
         for name, k in zip(names, keys):
             X, y = terms[name].sampler.sample(k, terms[name].batch)
             batches[name] = (constrain(X), constrain(y))
 
-        (loss, per_term), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batches
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        if use_plateau:
-            updates = optim.scale_updates(updates, sched.scale)
-        params = optax.apply_updates(params, updates)
+        if use_spsa:
+            params, loss = spsa_step(
+                lambda p, kk: loss_fn(p, batches, kk)[0],
+                params,
+                step_id.astype(jnp.float32) + 1.0,
+                k_spsa,
+                spsa_cfg,
+            )
+            _, per_term = loss_fn(params, batches, k_shot)
+        else:
+            (loss, per_term), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batches, k_shot
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            if use_plateau:
+                updates = optim.scale_updates(updates, sched.scale)
+            params = optax.apply_updates(params, updates)
         if use_plateau:
             sched = optim.plateau_update(
                 sched,
@@ -149,7 +181,7 @@ def make_train_step(
         step_ids = start_step + jnp.arange(n_steps)
         keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(step_ids)
         (params, opt_state, sched), trace = jax.lax.scan(
-            step_fn, (params, opt_state, sched), keys
+            step_fn, (params, opt_state, sched), (keys, step_ids)
         )
         return params, opt_state, sched, trace
 
@@ -221,13 +253,49 @@ def train(
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
-    _, scan_steps = make_train_step(
-        model.apply, operator, terms, optimizer, config, mesh=mesh
-    )
-
     def log(msg):
         if logger is not None:
             logger.print(msg)
+
+    # hardware-fidelity gradient modes (readme.md:166-171): simulator =
+    # backprop on analytic expectations; hardware = parameter-shift on
+    # shot-sampled measurements; SPSA = 2-eval zeroth order.
+    shots_apply = None
+    if config.gradient_mode == "parameter-shift":
+        if not hasattr(model, "hw_apply_fn"):
+            raise ValueError(
+                "gradient_mode='parameter-shift' needs a solver with a "
+                "hardware apply (DVSolver.hw_apply_fn); CV/Classical "
+                "solvers train with backprop or spsa"
+            )
+        shots_apply = model.hw_apply_fn(config.shots)
+        log(
+            f"parameter-shift gradients on value terms (shots={config.shots}); "
+            "residual terms use the exact simulator (hardware stages are "
+            "data/boundary-only, as in the reference)"
+        )
+    elif config.gradient_mode == "spsa":
+        if config.shots is not None:
+            if config.solver == "DV":
+                shots_apply = lambda p, X, k: model.apply(
+                    p, X, shots=config.shots, key=k
+                )
+            else:
+                log("shots apply only to the DV solver's measurements; "
+                    "SPSA runs on the analytic forward")
+        log(f"SPSA updates (a={config.lr}); shots={config.shots}")
+    elif config.shots is not None:
+        log(
+            f"shots={config.shots} ignored: backprop mode trains on analytic "
+            "expectations (the reference's AER semantics — 'Ignored in AER "
+            "analytic mode'); use gradient_mode='parameter-shift' or 'spsa' "
+            "for shot-noise training"
+        )
+
+    _, scan_steps = make_train_step(
+        model.apply, operator, terms, optimizer, config, mesh=mesh,
+        shots_apply=shots_apply,
+    )
 
     loss_history = []
     best_val = float("inf")

@@ -120,6 +120,64 @@ def test_amplitude_encoding_training_step():
     assert np.all(np.isfinite(history))
 
 
+def test_parameter_shift_gradient_mode_trains():
+    """--shots + --gradient-mode parameter-shift reaches the train step:
+    value terms run the shot-sampled param-shift forward (quantum params
+    get real gradients), residual terms stay exact. Loss must drop."""
+    cfg = QCPINNConfig(
+        num_qubits=2,
+        classic_network=(3, 8, 1),
+        q_ansatz="cascade",
+        epochs=40,
+        batch_size=12,
+        lr=5e-3,
+        print_every=20,
+        seed=0,
+        shots=512,
+        gradient_mode="parameter-shift",
+    )
+    model = DVSolver(cfg)
+    params, history = _run_short_training(model, cfg)
+    assert len(history) == 40 and np.all(np.isfinite(history))
+    # shot-noise SGD is spiky step-to-step; compare smoothed start/end
+    assert np.mean(history[-10:]) < np.mean(history[:10])
+    assert min(history) < 0.1 * history[0]
+
+
+def test_spsa_gradient_mode_trains():
+    cfg = QCPINNConfig(
+        num_qubits=2,
+        classic_network=(3, 8, 1),
+        q_ansatz="cascade",
+        epochs=150,
+        batch_size=12,
+        lr=2e-3,
+        print_every=75,
+        seed=0,
+        shots=256,
+        gradient_mode="spsa",
+    )
+    model = DVSolver(cfg)
+    params, history = _run_short_training(model, cfg)
+    assert np.all(np.isfinite(history))
+    # SPSA is noisy: compare smoothed start/end
+    assert np.mean(history[-20:]) < np.mean(history[:20])
+
+
+def test_backprop_with_shots_trains_analytic():
+    """Reference AER semantics: shots are ignored under backprop (loudly
+    logged) — the trajectory is bitwise the exact-mode one."""
+    kw = dict(
+        num_qubits=2, classic_network=(3, 8, 1), epochs=10, batch_size=8,
+        print_every=10, seed=3,
+    )
+    m1 = DVSolver(QCPINNConfig(**kw))
+    _, h1 = _run_short_training(m1, QCPINNConfig(**kw))
+    m2 = DVSolver(QCPINNConfig(shots=128, **kw))
+    _, h2 = _run_short_training(m2, QCPINNConfig(shots=128, **kw))
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+
+
 def test_param_count_parity_shape():
     # reference default: 4 qubits, hidden 50, cascade, 1 layer
     cfg = QCPINNConfig(num_qubits=4, classic_network=(3, 50, 1))
