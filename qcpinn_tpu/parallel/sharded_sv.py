@@ -284,6 +284,38 @@ def make_sharded_circuit_apply(
     )
 
 
+def make_sharded_evolve(
+    circuit: DVCircuit, mesh: Mesh, amp_axis: str = "amp", data_axis: str = "data"
+):
+    """Build ``evolve(params, state) -> state``: ansatz layers + epilogue on
+    a caller-prepared ``[B, 2^n]`` state, with the amplitude dimension
+    sharded over ``amp_axis`` (device s holds the contiguous block whose
+    leading ``a`` wire bits equal s — exactly the ShardedOps layout) and the
+    batch over ``data_axis``. This is the composition point for the tangent
+    streams (physics/streams.py): the 6x-wider derivative-stream batch rides
+    the same sharded evolution, so 16q+ residual training gets the amp
+    axis's HBM relief."""
+    A = mesh.shape[amp_axis]
+    a = int(np.log2(A))
+    if (1 << a) != A:
+        raise ValueError(f"amp axis size {A} must be a power of 2")
+    ops = ShardedOps(circuit.n, a, amp_axis)
+
+    def inner(params, local):
+        p2 = params.reshape(circuit.layers, circuit.params_per_layer)
+        for layer in range(circuit.layers):
+            local = ops.apply_program(local, circuit.program, p2[layer])
+        return ops.apply_program(local, circuit.epilogue, jnp.zeros((0,)))
+
+    return shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(P(), P(data_axis, amp_axis)),
+        out_specs=P(data_axis, amp_axis),
+        check_vma=False,
+    )
+
+
 class ShardedCircuit:
     """Quantum-block adapter around :func:`make_sharded_circuit_apply` with
     the fused-backend calling convention, so a solver can route training
@@ -291,7 +323,9 @@ class ShardedCircuit:
     jitted train step lifts the 2^n HBM cap by the 'amp' mesh factor.
 
     Differentiable to any order (plain XLA + collectives), so the nested-AD
-    PDE operators work through it. Shot-sampling and noise channels are
+    PDE operators work through it; :meth:`evolve` additionally lets the
+    tangent-stream residuals run their stacked derivative streams through
+    the sharded evolution. Shot-sampling and noise channels are
     single-device features (use the unsharded engines for hardware-fidelity
     experiments)."""
 
@@ -306,6 +340,14 @@ class ShardedCircuit:
         self.mesh = mesh
         self._data = mesh.shape[data_axis]
         self._apply = make_sharded_circuit_apply(circuit, mesh, amp_axis, data_axis)
+        self._evolve = make_sharded_evolve(circuit, mesh, amp_axis, data_axis)
+
+    def _pad_batch(self, arr):
+        b = arr.shape[0]
+        bp = -(-b // self._data) * self._data
+        if bp != b:
+            arr = jnp.pad(arr, ((0, bp - b), (0, 0)))
+        return arr, b
 
     def apply(self, params, x, *, shots=None, key=None, noise=None):
         if shots is not None or noise is not None:
@@ -314,12 +356,16 @@ class ShardedCircuit:
             )
         # shard_map needs the batch divisible by the data axis; pad + slice
         # (static shapes under jit, so this costs one pad/slice pair)
-        b = x.shape[0]
-        bp = -(-b // self._data) * self._data
-        if bp != b:
-            x = jnp.pad(x, ((0, bp - b), (0, 0)))
+        x, b = self._pad_batch(x)
         z = self._apply(params, x)
         return z[:b]
+
+    def evolve(self, params, state):
+        """Ansatz layers + epilogue on an arbitrary [B, 2^n] complex state —
+        drop-in for DVCircuit.evolve, amplitudes sharded over the mesh."""
+        state, b = self._pad_batch(state)
+        out = self._evolve(params, state)
+        return out[:b]
 
     def __call__(self, params, x, **kw):
         return self.apply(params, x, **kw)
