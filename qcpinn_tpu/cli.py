@@ -62,26 +62,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the collocation batch over all local devices")
 
     c = sub.add_parser("cz", help="Czochralski two-phase pipeline")
-    c.add_argument("--phase", choices=["pretrain", "finetune"], required=True)
+    c.add_argument("--phase", choices=["pretrain", "finetune", "eval"],
+                   required=True)
     c.add_argument("--data", required=True)
-    c.add_argument("--save", required=True)
+    c.add_argument("--save", default="",
+                   help="checkpoint path (required for pretrain/finetune)")
     c.add_argument("--load", default="")
     c.add_argument("--n-qubits", type=int, default=16)
     c.add_argument("--n-layers", type=int, default=2)
     c.add_argument("--epochs", type=int, default=2000)
     c.add_argument("--batch-size", type=int, default=16)
     c.add_argument("--lr", type=float, default=1e-3)
-    c.add_argument("--re", type=float, default=100.0)
-    c.add_argument("--pr", type=float, default=0.011)
-    c.add_argument("--gr", type=float, default=1e5)
-    c.add_argument("--physics-weight", type=float, default=1.0)
-    c.add_argument("--physics-warmup", type=int, default=100)
+    # defaults track the reference flagship CLI (CG...16qubits.py:627-648)
+    c.add_argument("--re", type=float, default=15.0)
+    c.add_argument("--pr", type=float, default=28.463)
+    c.add_argument("--gr", type=float, default=8000.0)
+    c.add_argument("--physics-weight", type=float, default=0.05)
+    c.add_argument("--physics-warmup", type=int, default=150)
     c.add_argument("--physics-ramp", type=int, default=400)
-    c.add_argument("--log-every", type=int, default=50)
+    c.add_argument("--log-every", type=int, default=10)
     c.add_argument("--shots", type=int, default=4096)
     c.add_argument("--calib-size", type=int, default=8)
     c.add_argument("--train-scope", default="head", choices=["head", "full"])
-    c.add_argument("--seed", type=int, default=0)
+    c.add_argument("--seed", type=int, default=42)
     c.add_argument("--save-every", type=int, default=0)
     c.add_argument("--quick-check", action="store_true",
                    help="2-epoch, tiny-model smoke run")
@@ -320,6 +323,28 @@ def cmd_cz(args) -> int:
         train_scope=args.train_scope,
     )
     model = Hybrid16QPINN(n_qubits=cfg.n_qubits, n_layers=cfg.n_layers)
+
+    if args.phase in ("pretrain", "finetune") and not args.save:
+        raise SystemExit(f"{args.phase} phase requires --save")
+
+    if args.phase == "eval":
+        # field-wise rel-L2 + val MSE over the full node set — the flagship
+        # accuracy report (PARITY.md Cz table)
+        from .utils.evaluation import evaluate_cz_fields
+
+        if not args.load:
+            raise SystemExit("eval phase requires --load with a checkpoint")
+        template = {"params": model.init(jax.random.PRNGKey(0)),
+                    "opt_state": None, "sched": None}
+        restored = load_checkpoint(args.load, template)
+        params = restored["bundle"]["params"]
+        metrics = evaluate_cz_fields(model.apply, params, X, Y)
+        for k, v in metrics.items():
+            logger.print(f"{k}: {v:.6e}")
+        import json as _json
+
+        logger.print(_json.dumps(metrics))
+        return 0
 
     if args.phase == "pretrain":
         def ckpt_fn(params, epoch, history):

@@ -47,20 +47,22 @@ PHYS_KEYS = ("cont", "mom_r", "mom_z", "swirl", "energy")
 
 @dataclasses.dataclass
 class CzConfig:
+    # defaults track the reference flagship CLI
+    # (CG_HQPINN_IBMtest_16qubits.py:627-648)
     n_qubits: int = 16
     n_layers: int = 2
     epochs: int = 2000
     batch_size: int = 16
     lr: float = 1e-3
-    seed: int = 0
-    re: float = 100.0
-    pr: float = 0.011
-    gr: float = 1e5
-    physics_weight: float = 1.0
-    physics_warmup: int = 100
+    seed: int = 42
+    re: float = 15.0
+    pr: float = 28.463
+    gr: float = 8000.0
+    physics_weight: float = 0.05
+    physics_warmup: int = 150
     physics_ramp: int = 400
     ema_beta: float = 0.95
-    log_every: int = 50
+    log_every: int = 10
     # finetune phase
     finetune_epochs: int = 100
     finetune_lr: float = 1e-4

@@ -188,6 +188,34 @@ def test_two_phase_pipeline_smoke(rng):
     assert np.abs(np.asarray(params2["post"][0]["w"]) - post_before).max() > 0
 
 
+def test_real_melt_dataset_vendored_and_loads():
+    """The reference's 18,108-node COMSOL melt export
+    (/root/reference/data/cz_melt_raw.txt:1-9) is vendored; the loader
+    reproduces the reference's normalization stats."""
+    path = os.path.join(os.path.dirname(__file__), "..", "data", "cz_melt_raw.txt")
+    X, Y, stats = load_cz_data(path)
+    assert X.shape == (18108, 2) and Y.shape == (18108, 5)
+    np.testing.assert_allclose(stats.length_scale, 0.3, rtol=1e-6)
+    assert stats.temp_min == 1685.0 and stats.temp_max == 1750.0
+    assert np.abs(X).max() <= 1.0 and np.isfinite(Y).all()
+
+
+def test_evaluate_cz_fields_chunking(rng):
+    """Chunked field-wise eval (with final-chunk padding) matches the
+    direct computation."""
+    from qcpinn_tpu.utils.evaluation import evaluate_cz_fields
+
+    model = _small_model()
+    params = model.init(jax.random.PRNGKey(0))
+    X = rng.uniform(0, 1, (37, 2)).astype(np.float32)
+    Y = rng.normal(0, 0.3, (37, 5)).astype(np.float32)
+    m = evaluate_cz_fields(model.apply, params, X, Y, batch=16)
+    pred = np.asarray(model.apply(params, jnp.asarray(X)))
+    np.testing.assert_allclose(m["val_mse"], np.mean((pred - Y) ** 2), rtol=1e-5)
+    ref = 100.0 * np.linalg.norm(pred[:, 4] - Y[:, 4]) / np.linalg.norm(Y[:, 4])
+    np.testing.assert_allclose(m["rel_l2_T_percent"], ref, rtol=1e-5)
+
+
 def test_finetune_full_scope_trains_quantum(rng):
     """train_scope='full' routes the circuit through the parameter-shift
     estimator: quantum weights receive REAL shot-noise gradients (not the
