@@ -322,7 +322,9 @@ def cmd_cz(args) -> int:
         calib_size=args.calib_size,
         train_scope=args.train_scope,
     )
-    model = Hybrid16QPINN(n_qubits=cfg.n_qubits, n_layers=cfg.n_layers)
+    model = Hybrid16QPINN(
+        n_qubits=cfg.n_qubits, n_layers=cfg.n_layers, remat=cfg.effective_remat
+    )
 
     if args.phase in ("pretrain", "finetune") and not args.save:
         raise SystemExit(f"{args.phase} phase requires --save")

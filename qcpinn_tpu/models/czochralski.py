@@ -51,12 +51,56 @@ def _cz_brickwork_phases(n: int) -> np.ndarray:
     return phi
 
 
-class CzQuantumLayer:
-    """16-qubit data-reuploading circuit, natively batched."""
+def _kron_chain(mats):
+    """Kronecker product of [..., 2, 2] gate matrices (first = group MSB)
+    -> [..., 2^k, 2^k]."""
+    u = mats[0]
+    for m in mats[1:]:
+        d = u.shape[-1]
+        u = jnp.einsum(
+            "...ij,...kl->...ikjl", u, m, precision=jax.lax.Precision.HIGHEST
+        ).reshape(*u.shape[:-2], 2 * d, 2 * d)
+    return u
 
-    def __init__(self, n_qubits: int = 16, n_layers: int = 2):
+
+def _apply_wire_group(state, n, wire0, u):
+    """Apply a 2^k x 2^k unitary on the adjacent wire group
+    [wire0, wire0+k); u is [G, G] (shared) or [B, G, G] (per-sample)."""
+    g = u.shape[-1]
+    k = g.bit_length() - 1
+    b = state.shape[0]
+    lo = 1 << wire0
+    hi = 1 << (n - wire0 - k)
+    s = state.reshape(b, lo, g, hi)
+    eq = "bij,bljh->blih" if u.ndim == 3 else "ij,bljh->blih"
+    out = jnp.einsum(eq, u.astype(state.dtype), s,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(b, 1 << n)
+
+
+def _wire_groups(n: int, k: int = 4):
+    """[(wire0, size), ...] covering n wires in adjacent groups of <= k."""
+    return [(w, min(k, n - w)) for w in range(0, n, k)]
+
+
+class CzQuantumLayer:
+    """16-qubit data-reuploading circuit, natively batched.
+
+    The per-wire RY-encoding and Rot sweeps are fused into one 16x16 kron
+    unitary per 4-wire group (TPU-native: 4 MXU matmuls sweeping the state
+    once each instead of 16 bandwidth-bound 2x2 slice updates, and 4x
+    fewer reverse-mode [B, 2^n] intermediates).
+
+    ``remat`` wraps the encoding and each reupload layer in their own
+    ``jax.checkpoint`` segment: reverse-mode then holds one segment's
+    per-gate [B, 2^n] intermediates at a time (plus the layer-boundary
+    states) instead of the whole circuit's — the difference between 66 GB
+    and a few GB for B=512 pretraining at 16 qubits."""
+
+    def __init__(self, n_qubits: int = 16, n_layers: int = 2, remat: bool = False):
         self.n = n_qubits
         self.layers = n_layers
+        self.remat = remat
 
     def init(self, key: jax.Array) -> Array:
         # TorchLayer default init: U(0, 2pi) over weight_shapes (L, n, 3)
@@ -82,28 +126,48 @@ class CzQuantumLayer:
         n = self.n
         bits = jnp.asarray(bit_matrix(n))
         brick = jnp.asarray(_cz_brickwork_phases(n))
-        state = sv.zero_state(x.shape[0], n)
-        for w in range(n):
-            ang = x[:, w] if enc_off is None else x[:, w] + enc_off[w]
-            state = sv.apply_1q(state, n, w, gates.ry(ang))
-        for layer in range(self.layers):
+
+        groups = _wire_groups(n)
+
+        def encode(xx):
+            st = sv.zero_state(xx.shape[0], n)
+            for w0, k in groups:
+                mats = []
+                for w in range(w0, w0 + k):
+                    ang = xx[:, w] if enc_off is None else xx[:, w] + enc_off[w]
+                    mats.append(gates.ry(ang))
+                st = _apply_wire_group(st, n, w0, _kron_chain(mats))
+            return st
+
+        def one_layer(st, xx, wl, layer):
             # data reupload: RZ(0.5 * x[(i+layer) % n]) on wire i — one
             # batched diagonal phase op (phi = theta.b - sum(theta)/2)
             theta = 0.5 * jnp.stack(
-                [x[:, (i + layer) % n] for i in range(n)], axis=1
+                [xx[:, (i + layer) % n] for i in range(n)], axis=1
             )  # [B, n]
             if reup_off is not None:
                 theta = theta + reup_off[layer][None, :]
             phi = jnp.einsum(
                 "bn,sn->bs", theta, bits, precision=jax.lax.Precision.HIGHEST
             ) - 0.5 * jnp.sum(theta, axis=1, keepdims=True)
-            state = state * jnp.exp(1j * phi).astype(state.dtype)
-            for i in range(n):
-                state = sv.apply_1q(
-                    state, n, i,
-                    gates.rot(weights[layer, i, 0], weights[layer, i, 1], weights[layer, i, 2]),
+            st = st * jnp.exp(1j * phi).astype(st.dtype)
+            for w0, k in groups:
+                u = _kron_chain(
+                    [gates.rot(wl[i, 0], wl[i, 1], wl[i, 2])
+                     for i in range(w0, w0 + k)]
                 )
-            state = state * jnp.exp(1j * brick)[None, :].astype(state.dtype)
+                st = _apply_wire_group(st, n, w0, u)
+            return st * jnp.exp(1j * brick)[None, :].astype(st.dtype)
+
+        if self.remat:
+            encode = jax.checkpoint(encode)
+
+        state = encode(x)
+        for layer in range(self.layers):
+            block = functools.partial(one_layer, layer=layer)
+            if self.remat:
+                block = jax.checkpoint(block, static_argnums=())
+            state = block(state, x, weights[layer])
         if shots is None:
             return measure.exact_z(state, n, noise)
         if key is None:
@@ -112,9 +176,18 @@ class CzQuantumLayer:
 
 
 class Hybrid16QPINN:
-    def __init__(self, n_qubits: int = 16, n_layers: int = 2, ff_seed: int = 0):
+    def __init__(
+        self,
+        n_qubits: int = 16,
+        n_layers: int = 2,
+        ff_seed: int = 0,
+        remat: bool = True,
+    ):
         self.n = n_qubits
-        self.q = CzQuantumLayer(n_qubits, n_layers)
+        # remat=True segments reverse-mode memory per reupload layer (see
+        # CzQuantumLayer): B=512 pretraining at 16 qubits needs 66 GB HBM
+        # unremat vs a few GB remat, for ~1 extra forward of recompute
+        self.q = CzQuantumLayer(n_qubits, n_layers, remat=remat)
         self.ff_seed = ff_seed
 
     def init(self, key: jax.Array) -> dict:
