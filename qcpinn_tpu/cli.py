@@ -147,6 +147,12 @@ def cmd_train(args) -> int:
 
         draw_circuit(model.circuit, logger.get_output_dir())
         logger.print("circuit diagram written (circuit.txt / circuit.pdf)")
+    elif cfg.solver == "CV":
+        # CV program diagram (nn/CVPDESolver.py:139-152 draw_quantum_circuit)
+        from .utils.drawing import draw_cv_circuit
+
+        draw_cv_circuit(model.cv, logger.get_output_dir())
+        logger.print("CV circuit diagram written (circuit.txt / circuit.pdf)")
 
     # problem setup: samplers + operator + analytic oracle
     box = dd._box
@@ -276,7 +282,8 @@ def cmd_train(args) -> int:
 
             plot_loss_history(history, logger.get_output_dir())
             if args.problem != "navier_stokes":  # contour grid is scalar-u
-                draw_contourf_grid(model.apply, params, analytic_u, logger.get_output_dir())
+                draw_contourf_grid(model.apply, params, analytic_u,
+                                   logger.get_output_dir(), per_timestep=True)
             logger.print("plots written")
     return 0
 

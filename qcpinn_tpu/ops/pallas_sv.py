@@ -539,8 +539,17 @@ class FusedCircuit:
         if circuit.n < 7 and not interpret:
             raise ValueError("pallas backend needs n >= 7 (lane width)")
         self.circuit = circuit
-        self.mp = compile_circuit(circuit)
-        self._fn = make_fused_state_fn(self.mp, interpret)
+        # amplitude encoding (nn/DVQuantumLayer.py:177-180): the prepared
+        # state comes from encode_amplitude outside the kernel and the
+        # evolve-only micro-program runs it — same recipe as the tangent
+        # streams. Angle encoding bakes the RX bank into the kernel.
+        self._amplitude = circuit.encoding == "amplitude"
+        if self._amplitude:
+            self.mp = None
+            self._fn = None
+        else:
+            self.mp = compile_circuit(circuit)
+            self._fn = make_fused_state_fn(self.mp, interpret)
         # no-encoding variant for arbitrary initial states (tangent streams)
         self.mp_evolve = compile_circuit(circuit, include_encoding=False)
         self._fn_evolve = make_fused_state_fn(self.mp_evolve, interpret)
@@ -567,6 +576,10 @@ class FusedCircuit:
         return [jnp.pad(a, [(0, bp - b)] + [(0, 0)] * (a.ndim - 1)) for a in arrs]
 
     def state(self, params, x):
+        if self._amplitude:
+            from . import statevector as sv
+
+            return self.evolve(params, sv.encode_amplitude(x, self.circuit.n))
         b = x.shape[0]
         d = 1 << self.circuit.n
         mre, mim, cos, sin = gather_inputs(self.circuit, self.mp, params, x)
@@ -589,13 +602,18 @@ class FusedCircuit:
 
         b = x.shape[0]
         d = 1 << self.circuit.n
-        mre, mim, cos, sin = gather_inputs(self.circuit, self.mp, params, x)
-        xr = jnp.zeros((b, d), dtype=jnp.float32).at[:, 0].set(1.0)
-        xi = jnp.zeros((b, d), dtype=jnp.float32)
-        xr, xi, mre, mim = self._pad_rows([xr, xi, mre, mim], b)
-        yr, yi = self._fn(xr, xi, mre, mim, cos, sin)
-        yr = yr[:b]
-        yi = yi[:b]
+        if self._amplitude:
+            st = self.state(params, x)
+            yr = jnp.real(st).astype(jnp.float32)
+            yi = jnp.imag(st).astype(jnp.float32)
+        else:
+            mre, mim, cos, sin = gather_inputs(self.circuit, self.mp, params, x)
+            xr = jnp.zeros((b, d), dtype=jnp.float32).at[:, 0].set(1.0)
+            xi = jnp.zeros((b, d), dtype=jnp.float32)
+            xr, xi, mre, mim = self._pad_rows([xr, xi, mre, mim], b)
+            yr, yi = self._fn(xr, xi, mre, mim, cos, sin)
+            yr = yr[:b]
+            yi = yi[:b]
         probs = yr * yr + yi * yi
         sign = jnp.asarray(sv._z_sign_matrix(self.circuit.n))
         z = jnp.dot(

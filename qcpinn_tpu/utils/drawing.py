@@ -94,3 +94,63 @@ def draw_circuit(
         except Exception:
             pass
     return header + text
+
+
+def cv_circuit_text(layer) -> str:
+    """Text diagram of a CVLayer program (the reference draws its CV QNode
+    via qml.draw_mpl in nn/CVPDESolver.py:139-152; here the program is
+    static, so the diagram is built from the wiring directly)."""
+    m = layer.m
+    lines = [
+        f"CV circuit: variant {layer.variant}, {m} qumodes, "
+        f"{layer.layers} layers, cutoff {layer.d}",
+        "",
+        "encoding: "
+        + (
+            "Displacement(s_i * x_i, phi_i) per mode (learnable)"
+            if layer.variant == 3
+            else "Displacement(x_i, 0) per mode"
+        ),
+    ]
+    bs = " ".join(f"BS(q{a},q{b})" for _, (a, b) in layer.placements) or "—"
+    rot = " ".join(f"R(q{i})" for i in range(max(1, m - 1)))
+    for l in range(layer.layers):
+        lines.append(f"layer {l}:")
+        lines.append(f"  U1: {bs} | {rot}")
+        lines.append("  S(r,phi) on every mode")
+        lines.append(f"  U2: {bs} | {rot}")
+        extra = " CubicPhase" if layer.variant == 3 else ""
+        lines.append(f"  D(r,phi) + Kerr{extra} on every mode")
+        if layer.variant == 3:
+            pairs = " ".join(
+                f"CK(q{i},q{j})" for i in range(m) for j in range(i + 1, m)
+            )
+            lines.append(f"  CrossKerr: {pairs}")
+    lines.append(
+        "readout: " + ("<x_i>" if layer.variant == 2 else "<n_i>") + " per mode"
+    )
+    return "\n".join(lines)
+
+
+def draw_cv_circuit(layer, out_dir: Optional[str] = None, name: str = "circuit") -> str:
+    """Write circuit.txt (+ circuit.pdf) for a CV solver's quantum layer —
+    parity with CVPDESolver.draw_quantum_circuit (nn/CVPDESolver.py:139-152)."""
+    text = cv_circuit_text(layer)
+    if out_dir is not None:
+        with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
+            f.write(text + "\n")
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(10, 1 + 0.3 * len(text.splitlines())))
+            ax.axis("off")
+            ax.text(0, 1, text, family="monospace", fontsize=8, va="top",
+                    transform=ax.transAxes)
+            fig.savefig(os.path.join(out_dir, f"{name}.pdf"), bbox_inches="tight")
+            plt.close(fig)
+        except Exception:
+            pass
+    return text

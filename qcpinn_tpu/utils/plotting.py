@@ -41,9 +41,12 @@ def draw_contourf_grid(
     times: Sequence[float] = (0.25, 0.5, 0.75),
     num: int = 50,
     name: str = "contour_plots",
+    per_timestep: bool = False,
 ) -> str:
     """3-row grid per timestep: prediction / exact / |error|, shared row
-    scales (ContourPlotter.draw_contourf_regular_2D semantics)."""
+    scales (ContourPlotter.draw_contourf_regular_2D semantics).
+    ``per_timestep`` additionally exports one 300-dpi ``tricontourf_{i}.pdf``
+    per time step (ContourPlotter.py:34-45 filename convention)."""
     import jax
     import jax.numpy as jnp
 
@@ -82,6 +85,34 @@ def draw_contourf_grid(
     fig.savefig(path, bbox_inches="tight", dpi=300)
     fig.savefig(os.path.join(out_dir, f"{name}.png"), bbox_inches="tight", dpi=150)
     plt.close(fig)
+
+    if per_timestep:
+        # separate 300-dpi PDF per time step, the reference's
+        # tricontourf_{t}.pdf export (ContourPlotter.py:34-45,:153-173):
+        # row-shared solution scale, error floored at 0
+        for i, t in enumerate(times):
+            pred, exact, err = fields[i]
+            smin = min(pred.min(), exact.min())
+            smax = max(pred.max(), exact.max())
+            f1, ax1 = plt.subplots(1, 3, figsize=(12, 3.6))
+            panels = [
+                (pred, "prediction", "rainbow", smin, smax),
+                (exact, "exact", "rainbow", smin, smax),
+                (err, "|error|", "Oranges", 0.0, max(float(err.max()), 1e-6)),
+            ]
+            for a, (f, ttl, cmap, vmin, vmax) in zip(ax1, panels):
+                im = a.contourf(
+                    X, Y, f, levels=np.linspace(vmin, vmax, 50), cmap=cmap,
+                    vmin=vmin, vmax=vmax,
+                )
+                a.set_aspect("equal", adjustable="box")
+                a.set_title(f"{ttl} @ t={t}")
+                f1.colorbar(im, ax=a, format="%.1e")
+            f1.savefig(
+                os.path.join(out_dir, f"tricontourf_{i}.pdf"),
+                dpi=300, bbox_inches="tight", facecolor="white",
+            )
+            plt.close(f1)
     return path
 
 

@@ -60,6 +60,32 @@ def test_circuit_text_and_files(tmp_path):
     assert "ansatz=cascade" in out
 
 
+def test_cv_circuit_text_and_files(tmp_path):
+    """CV program diagram (nn/CVPDESolver.py:139-152 parity)."""
+    from qcpinn_tpu.models.cv_layer import CVLayer
+    from qcpinn_tpu.utils.drawing import draw_cv_circuit
+
+    layer = CVLayer(num_qumodes=3, num_layers=2, cutoff_dim=4, variant=3)
+    out = draw_cv_circuit(layer, str(tmp_path))
+    assert os.path.exists(tmp_path / "circuit.txt")
+    assert "variant 3" in out and "CrossKerr" in out and "BS(q0,q1)" in out
+    assert out.count("layer ") == 2
+
+
+def test_per_timestep_contour_export(tmp_path):
+    """tricontourf_{i}.pdf per time step (ContourPlotter.py:34-45,:153-173)."""
+    import jax.numpy as jnp
+
+    from qcpinn_tpu.utils.plotting import draw_contourf_grid
+
+    apply = lambda p, X: jnp.sin(X[:, 1:2]) * X[:, 2:3]
+    exact = lambda X: jnp.sin(X[:, 1:2] + 0.1) * X[:, 2:3]
+    draw_contourf_grid(apply, None, exact, str(tmp_path), times=(0.25, 0.75),
+                       num=8, per_timestep=True)
+    assert os.path.exists(tmp_path / "tricontourf_0.pdf")
+    assert os.path.exists(tmp_path / "tricontourf_1.pdf")
+
+
 @pytest.mark.slow
 def test_train_resume_continues_trajectory():
     cfg = QCPINNConfig(

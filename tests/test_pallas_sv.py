@@ -86,6 +86,24 @@ def test_fused_input_gradients_match():
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=2e-4)
 
 
+def test_fused_amplitude_encoding_parity():
+    """Amplitude encoding on the unrolled Pallas backend
+    (nn/DVQuantumLayer.py:177-180): prepared state outside the kernel,
+    evolve-only micro-program inside — forward AND gradient parity."""
+    circ = DVCircuit(3, 1, "cascade", encoding="amplitude")
+    fused = FusedCircuit(circ, interpret=True)
+    params = circ.init_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 5)) + 0.1
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(params, x)),
+        np.asarray(circ.apply(params, x)),
+        atol=3e-5,
+    )
+    g_f = jax.jit(jax.grad(lambda p: jnp.sum(fused.apply(p, x) ** 2)))(params)
+    g_r = jax.jit(jax.grad(lambda p: jnp.sum(circ.apply(p, x) ** 2)))(params)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r), atol=3e-5)
+
+
 def test_micro_program_structure():
     circ = DVCircuit(4, 1, "cross_mesh")
     mp = compile_circuit(circ)
