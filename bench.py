@@ -82,6 +82,23 @@ def _build(use_pallas: bool, batch: int):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return (optax.apply_updates(params, updates), opt_state), loss
 
+    import os
+
+    if os.environ.get("QCPINN_BENCH_MODE") == "stepjit":
+        # A/B probe: one jitted step, host loop (async dispatch), sync at
+        # the end — the Cz pipeline measured whole-epoch lax.scan compiling
+        # 6.8x slower than the identical per-step jit on v5e
+        step_j = jax.jit(lambda c, k: step(c, k))
+
+        def scan(params, opt_state, key, n):
+            keys = jax.random.split(key, n)
+            carry = (params, opt_state)
+            for i in range(n):
+                carry, loss = step_j(carry, keys[i])
+            return carry[0], carry[1], loss[None]
+
+        return params, opt_state, scan
+
     @functools.partial(jax.jit, static_argnums=(3,))
     def scan(params, opt_state, key, n):
         keys = jax.random.split(key, n)
