@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--shots", type=int, default=4096)
     c.add_argument("--calib-size", type=int, default=8)
     c.add_argument("--train-scope", default="head", choices=["head", "full"])
+    c.add_argument("--noise-depolarizing", type=float, default=0.0,
+                   help="noisy-simulator finetune (the reference's ibm-sim "
+                        "phase with a FakeSherbrooke stand-in)")
+    c.add_argument("--noise-readout", type=float, default=0.0)
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--save-every", type=int, default=0)
     c.add_argument("--quick-check", action="store_true",
@@ -328,6 +332,8 @@ def cmd_cz(args) -> int:
         shots=args.shots,
         calib_size=args.calib_size,
         train_scope=args.train_scope,
+        noise_depolarizing=getattr(args, "noise_depolarizing", 0.0),
+        noise_readout=getattr(args, "noise_readout", 0.0),
     )
     model = Hybrid16QPINN(
         n_qubits=cfg.n_qubits, n_layers=cfg.n_layers, remat=cfg.effective_remat

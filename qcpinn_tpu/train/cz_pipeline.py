@@ -69,6 +69,10 @@ class CzConfig:
     shots: Optional[int] = 4096
     calib_size: int = 8
     train_scope: str = "head"  # head | full
+    # FakeSherbrooke-style noisy-simulator finetune (the reference's
+    # --phase ibm-sim, cg-hqpinn/CG_HQPINN_IBMtest_16q_effective.py:183-196)
+    noise_depolarizing: float = 0.0
+    noise_readout: float = 0.0
     # 'fwd' = forward-mode residuals (fast; the Cz model is point-decoupled);
     # 'rev' = torch-equivalent reverse mode
     physics_mode: str = "fwd"
@@ -251,6 +255,12 @@ def run_finetune(
     xb = jnp.asarray(x_c)
     yb = jnp.asarray(y_c)
 
+    noise = None
+    if cfg.noise_depolarizing or cfg.noise_readout:
+        from ..ops.measure import NoiseModel
+
+        noise = NoiseModel(cfg.noise_depolarizing, cfg.noise_readout)
+
     q_apply = None
     if cfg.train_scope == "head":
         mask = Hybrid16QPINN.head_param_filter(params)
@@ -265,7 +275,7 @@ def run_finetune(
 
         mask = jax.tree_util.tree_map(lambda _: True, params)
         detach_quantum = False
-        q_apply = make_hw_apply_cz(model.q, cfg.shots)
+        q_apply = make_hw_apply_cz(model.q, cfg.shots, noise=noise)
     else:
         raise ValueError(f"unsupported train_scope {cfg.train_scope!r}")
 
@@ -276,7 +286,7 @@ def run_finetune(
     def step(params, opt_state, key):
         def loss_fn(p):
             pred = model.apply(
-                p, xb, shots=cfg.shots, key=key,
+                p, xb, shots=cfg.shots, key=key, noise=noise,
                 detach_quantum=detach_quantum, q_apply=q_apply,
             )
             return jnp.mean((pred - yb) ** 2)

@@ -188,6 +188,32 @@ def test_two_phase_pipeline_smoke(rng):
     assert np.abs(np.asarray(params2["post"][0]["w"]) - post_before).max() > 0
 
 
+def test_finetune_with_noise_model(rng):
+    """Noisy-simulator finetune (the reference's ibm-sim phase,
+    cg-hqpinn/...16q_effective.py:183-196): NoiseModel shrinks the Cz
+    circuit's expectations and the finetune still trains finitely."""
+    from qcpinn_tpu.ops.measure import NoiseModel
+
+    q = CzQuantumLayer(n_qubits=3, n_layers=1)
+    w = q.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(-1, 1, (4, 3)).astype(np.float32))
+    clean = np.asarray(q.apply(w, x))
+    noisy = np.asarray(q.apply(w, x, noise=NoiseModel(0.1, 0.02)))
+    np.testing.assert_allclose(noisy, clean * 0.9 * 0.96, atol=1e-6)
+
+    model = Hybrid16QPINN(n_qubits=3, n_layers=1)
+    params = model.init(jax.random.PRNGKey(0))
+    X = rng.uniform(0, 1, (16, 2)).astype(np.float32)
+    Y = rng.normal(0, 0.3, (16, 5)).astype(np.float32)
+    cfg = CzConfig(
+        n_qubits=3, n_layers=1, finetune_epochs=4, shots=256, calib_size=8,
+        train_scope="head", log_every=100,
+        noise_depolarizing=0.05, noise_readout=0.01,
+    )
+    _, hist = run_finetune(model, params, X, Y, DataStats(1, 1, 1, 0, 1, 1.0), cfg)
+    assert np.all(np.isfinite(hist))
+
+
 def test_real_melt_dataset_vendored_and_loads():
     """The reference's 18,108-node COMSOL melt export
     (/root/reference/data/cz_melt_raw.txt:1-9) is vendored; the loader
