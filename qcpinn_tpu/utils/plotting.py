@@ -147,3 +147,79 @@ def plot_field_scatter(
     fig.savefig(path, bbox_inches="tight", dpi=150)
     plt.close(fig)
     return path
+
+
+def plot_cz_diagnostics(
+    model_apply,
+    params,
+    X: np.ndarray,
+    Y: np.ndarray,
+    out_dir: str,
+    x_calib: Optional[np.ndarray] = None,
+    q_key: str = "q",
+    max_points: int = 2000,
+) -> list:
+    """The reference's pre-finetune diagnostic suite
+    (cg-hqpinn/CG_HQPINN_IBMtest_16q_effective.py:515-587): four artifacts —
+    data_fields.png (scatter of (r,z) colored per field),
+    calib_coverage.png (calibration picks over the node cloud),
+    initial_pred_vs_gt.png (per-field prediction-truth scatter with the
+    y=x line), quantum_weights_hist.png."""
+    import jax
+    import jax.numpy as jnp
+
+    plt = _mpl()
+    names = ["u_r", "u_z", "u_theta", "p", "T"]
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    paths = []
+
+    fig, axes = plt.subplots(1, 5, figsize=(22, 4))
+    for i, (ax, nm) in enumerate(zip(axes, names)):
+        sc = ax.scatter(X[:, 0], X[:, 1], c=Y[:, i], s=1, cmap="viridis")
+        ax.set_xlabel("r"); ax.set_ylabel("z"); ax.set_title(nm)
+        fig.colorbar(sc, ax=ax)
+    fig.suptitle("Training data fields (normalised)")
+    fig.tight_layout()
+    p = os.path.join(out_dir, "data_fields.png")
+    fig.savefig(p, dpi=150); plt.close(fig); paths.append(p)
+
+    if x_calib is not None:
+        xc = np.asarray(x_calib)
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.scatter(X[:, 0], X[:, 1], s=1, alpha=0.3, label="full data")
+        ax.scatter(xc[:, 0], xc[:, 1], s=30, c="red", marker="x",
+                   label=f"calib ({len(xc)})")
+        ax.set_xlabel("r"); ax.set_ylabel("z")
+        ax.set_title("Calibration subset coverage")
+        ax.legend(); fig.tight_layout()
+        p = os.path.join(out_dir, "calib_coverage.png")
+        fig.savefig(p, dpi=150); plt.close(fig); paths.append(p)
+
+    rng = np.random.default_rng(0)
+    idx = rng.choice(len(X), min(max_points, len(X)), replace=False)
+    pred = np.asarray(jax.jit(model_apply)(params, jnp.asarray(X[idx])))
+    gt = Y[idx]
+    fig, axes = plt.subplots(1, 5, figsize=(22, 4))
+    for i, (ax, nm) in enumerate(zip(axes, names)):
+        lo = min(gt[:, i].min(), pred[:, i].min())
+        hi = max(gt[:, i].max(), pred[:, i].max())
+        ax.scatter(gt[:, i], pred[:, i], s=2, alpha=0.4)
+        ax.plot([lo, hi], [lo, hi], "r--", lw=1)
+        ax.set_xlabel("ground truth"); ax.set_ylabel("prediction")
+        ax.set_title(nm)
+    fig.suptitle("Predictions vs ground truth")
+    fig.tight_layout()
+    p = os.path.join(out_dir, "initial_pred_vs_gt.png")
+    fig.savefig(p, dpi=150); plt.close(fig); paths.append(p)
+
+    if q_key in params:
+        qw = np.asarray(params[q_key]).ravel()
+        fig, ax = plt.subplots(figsize=(6, 4))
+        ax.hist(qw, bins=50, edgecolor="black", alpha=0.7)
+        ax.set_xlabel("weight value"); ax.set_ylabel("count")
+        ax.set_title("Quantum layer weight distribution")
+        fig.tight_layout()
+        p = os.path.join(out_dir, "quantum_weights_hist.png")
+        fig.savefig(p, dpi=150); plt.close(fig); paths.append(p)
+    return paths

@@ -72,6 +72,25 @@ def test_cv_circuit_text_and_files(tmp_path):
     assert out.count("layer ") == 2
 
 
+def test_cz_diagnostics_suite(tmp_path):
+    """The 4-plot pre-finetune diagnostics (cg-hqpinn/...:515-587)."""
+    import jax
+
+    from qcpinn_tpu.models.czochralski import Hybrid16QPINN
+    from qcpinn_tpu.utils.plotting import plot_cz_diagnostics
+
+    model = Hybrid16QPINN(n_qubits=3, n_layers=1)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    X = rng.uniform(0, 1, (50, 2)).astype(np.float32)
+    Y = rng.normal(0, 0.3, (50, 5)).astype(np.float32)
+    paths = plot_cz_diagnostics(model.apply, params, X, Y, str(tmp_path),
+                                x_calib=X[:4])
+    assert len(paths) == 4
+    for p in paths:
+        assert os.path.exists(p)
+
+
 def test_per_timestep_contour_export(tmp_path):
     """tricontourf_{i}.pdf per time step (ContourPlotter.py:34-45,:153-173)."""
     import jax.numpy as jnp
