@@ -279,6 +279,21 @@ def run_finetune(
     else:
         raise ValueError(f"unsupported train_scope {cfg.train_scope!r}")
 
+    # circuit-execution budget forecast (the reference prints this for
+    # hardware runs, cg-hqpinn/...:711-718: SPSA's 2 evals vs param-shift's
+    # 2P; here head scope = 1 eval/step, full scope = the shift-rule count)
+    if cfg.train_scope == "full":
+        from .hardware_grad import evals_per_step_cz
+
+        per_step = evals_per_step_cz(model.q)
+    else:
+        per_step = 1
+    log(
+        f"[FINETUNE] circuit-execution budget: {cfg.finetune_epochs} epochs x "
+        f"{per_step} evals/step x {cfg.calib_size} samples x "
+        f"{cfg.shots or 'exact'} shots (scope={cfg.train_scope})"
+    )
+
     optimizer = optax.adam(cfg.finetune_lr)
     opt_state = optimizer.init(params)
 
