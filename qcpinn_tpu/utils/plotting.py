@@ -222,4 +222,29 @@ def plot_cz_diagnostics(
         fig.tight_layout()
         p = os.path.join(out_dir, "quantum_weights_hist.png")
         fig.savefig(p, dpi=150); plt.close(fig); paths.append(p)
+
+    # text weight audit (the human-written analysis of
+    # cg-hqpinn/diagnostics/readme.md:1-15, generated): per-block mean/std,
+    # dead-weight fraction, quantum wrap-around span
+    lines = ["block                    mean        std      |w|max   frac|w|<1e-6"]
+    for k in sorted(params.keys()):
+        leaves = [np.asarray(a).ravel()
+                  for a in __import__("jax").tree_util.tree_leaves(params[k])]
+        if not leaves:
+            continue
+        w = np.concatenate(leaves)
+        lines.append(
+            f"{k:<20} {w.mean():+10.4f} {w.std():10.4f} "
+            f"{np.abs(w).max():10.4f} {np.mean(np.abs(w) < 1e-6):10.4f}"
+        )
+    if q_key in params:
+        qw = np.asarray(params[q_key]).ravel()
+        lines.append(
+            f"quantum span [{qw.min():.3f}, {qw.max():.3f}] rad "
+            f"(wrap-around expected once trained: ~[0, 2pi])"
+        )
+    p = os.path.join(out_dir, "weight_audit.txt")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    paths.append(p)
     return paths

@@ -86,7 +86,7 @@ def test_cz_diagnostics_suite(tmp_path):
     Y = rng.normal(0, 0.3, (50, 5)).astype(np.float32)
     paths = plot_cz_diagnostics(model.apply, params, X, Y, str(tmp_path),
                                 x_calib=X[:4])
-    assert len(paths) == 4
+    assert len(paths) == 5
     for p in paths:
         assert os.path.exists(p)
 
