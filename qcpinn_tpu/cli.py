@@ -104,7 +104,7 @@ def cmd_train(args) -> int:
     from .data import diffusion as dd
     from .models import ClassicalSolver, DVSolver
     from .models.cv_solver import CVSolver
-    from .models.nn_core import count_params
+    from .models.nn_core import count_trainable
     from .physics import get_operator
     from .train import TermSpec, train
     from .utils.logger import Logging
@@ -254,7 +254,7 @@ def cmd_train(args) -> int:
         logger.print(f"data-parallel over mesh {dict(mesh.shape)}")
 
     params, history = train(model, cfg, terms, operator, logger=logger, mesh=mesh)
-    logger.print(f"trainable parameters: {count_params(params)}")
+    logger.print(f"trainable parameters: {count_trainable(params)}")
 
     # evaluation + artifacts
     from .utils.checkpoint import save_checkpoint
@@ -297,7 +297,7 @@ def cmd_cz(args) -> int:
 
     from .data.cz_loader import DataStats, load_cz_data
     from .models.czochralski import Hybrid16QPINN
-    from .models.nn_core import count_params
+    from .models.nn_core import count_trainable
     from .train.cz_pipeline import CzConfig, run_finetune, run_pretrain
     from .utils.checkpoint import load_checkpoint, save_checkpoint
     from .utils.logger import Logging
@@ -374,7 +374,7 @@ def cmd_cz(args) -> int:
         save_checkpoint(args.save, params, loss_history=history,
                         stats=stats.to_dict(), config=vars(args), epoch=cfg.epochs)
         logger.print(f"pretrain checkpoint saved to {args.save}.npz (+ stats sidecar)")
-        logger.print(f"trainable parameters: {count_params(params)}")
+        logger.print(f"trainable parameters: {count_trainable(params)}")
     else:
         if not args.load:
             raise SystemExit("finetune phase requires --load with the pretrain checkpoint")

@@ -144,3 +144,18 @@ def rbf_apply(params: dict, x: Array) -> Array:
 
 def count_params(params) -> int:
     return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))
+
+
+def count_trainable(params) -> int:
+    """count_params minus non-trainable buffers.
+
+    The Fourier-feature matrix params['ff']['B'] is drawn once at init and
+    never updated (fourier_features_init); the reference's documented model
+    sizes (cg-hqpinn/diagnostics/readme.md:1 — 126,021 at 3 layers, 125,973
+    at the 2-layer CLI default) count trainable parameters only.
+    """
+    total = count_params(params)
+    ff = params.get("ff") if isinstance(params, dict) else None
+    if isinstance(ff, dict) and "B" in ff:
+        total -= int(ff["B"].size)
+    return total
