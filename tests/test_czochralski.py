@@ -99,16 +99,19 @@ def test_hybrid16q_hard_constraints(rng):
 
 
 def test_hybrid16q_param_count_at_full_size():
+    from qcpinn_tpu.models.nn_core import count_trainable
+
     model = Hybrid16QPINN(n_qubits=16, n_layers=2)
     params = model.init(jax.random.PRNGKey(0))
-    trainable = count_params(params) - int(params["ff"]["B"].size)  # ff is a buffer
+    # count_trainable excludes the fixed Fourier buffer params['ff']['B']
+    assert count_trainable(params) == count_params(params) - int(params["ff"]["B"].size)
     # reference code default (n_layers=2): 125,973 trainable parameters
-    assert trainable == 125_973
+    assert count_trainable(params) == 125_973
     # the diagnostics readme's 126,021 (cg-hqpinn/diagnostics/readme.md:1)
     # is the 3-layer configuration: +48 = one extra 16x3 Rot layer
     model3 = Hybrid16QPINN(n_qubits=16, n_layers=3)
     params3 = model3.init(jax.random.PRNGKey(0))
-    assert count_params(params3) - int(params3["ff"]["B"].size) == 126_021
+    assert count_trainable(params3) == 126_021
 
 
 def test_cz_residuals_finite_and_jittable(rng):
