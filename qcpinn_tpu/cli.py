@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--physics-warmup", type=int, default=150)
     c.add_argument("--physics-ramp", type=int, default=400)
     c.add_argument("--log-every", type=int, default=10)
+    c.add_argument("--physics-normalize", default="reference",
+                   choices=["reference", "balanced"],
+                   help="'reference' = the EMAWeights ratio-to-average "
+                        "scheme (collapses the data fit when raw residuals "
+                        "dwarf the data loss); 'balanced' = scale physics "
+                        "to the data-loss magnitude via absolute EMAs")
     c.add_argument("--shots", type=int, default=4096)
     c.add_argument("--calib-size", type=int, default=8)
     c.add_argument("--train-scope", default="head", choices=["head", "full"])
@@ -327,6 +333,7 @@ def cmd_cz(args) -> int:
         physics_weight=args.physics_weight,
         physics_warmup=args.physics_warmup,
         physics_ramp=args.physics_ramp,
+        physics_normalize=args.physics_normalize,
         log_every=args.log_every,
         finetune_epochs=args.epochs if args.phase == "finetune" else 100,
         shots=args.shots,

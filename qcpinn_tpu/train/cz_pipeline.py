@@ -76,6 +76,22 @@ class CzConfig:
     # 'fwd' = forward-mode residuals (fast; the Cz model is point-decoupled);
     # 'rev' = torch-equivalent reverse mode
     physics_mode: str = "fwd"
+    # Physics-vs-data balancing:
+    #   'reference' — the reference's EMAWeights scheme
+    #     (CG_HQPINN_IBMtest_16qubits.py:408-422,:510-513): each term's EMA
+    #     of its ratio to the all-term average. When raw residuals dwarf the
+    #     data loss (pressure_coeff=134k enters mom_r/mom_z, so the squared
+    #     residual opens at ~1e12 vs data ~1e-1), the average is itself
+    #     physics-dominated and the normalization cancels out: the loss is
+    #     effectively pure physics, and a 300-epoch real-data run measurably
+    #     collapses the fit to the constant field means (data 9.8e-5 at the
+    #     end of warmup -> 3.8e-2 after the ramp; every field's rel-L2 at
+    #     the predict-the-mean floor).
+    #   'balanced' — scale physics to the data loss via absolute-magnitude
+    #     EMAs: scaled = w * phys_total * sg(ema_data / ema_phys), so
+    #     physics always contributes ~w of the data-loss magnitude and can
+    #     regularize but never crush the fit.
+    physics_normalize: str = "reference"
     # rematerialize the circuit in reverse mode: None = auto (on for
     # batch > 256, where unremat per-gate intermediates exceed one v5e's
     # HBM; off below — measured 32% faster when it fits)
@@ -134,8 +150,21 @@ def make_pretrain_epoch(
             k: cfg.ema_beta * ema[k] + (1.0 - cfg.ema_beta) * (v / avg)
             for k, v in detached.items()
         }
-        mean_phys_w = sum(new_ema[k] for k in PHYS_KEYS) / len(PHYS_KEYS)
-        scaled_phys = phys_w * (phys_total / jnp.maximum(mean_phys_w, 1e-12))
+        # absolute-magnitude EMAs for the 'balanced' mode (converge in
+        # ~1/(1-beta) steps, well inside the physics warmup)
+        new_ema["abs_data"] = (
+            cfg.ema_beta * ema["abs_data"] + (1.0 - cfg.ema_beta) * detached["data"]
+        )
+        new_ema["abs_phys"] = (
+            cfg.ema_beta * ema["abs_phys"]
+            + (1.0 - cfg.ema_beta) * jax.lax.stop_gradient(phys_total)
+        )
+        if cfg.physics_normalize == "balanced":
+            scale = new_ema["abs_data"] / jnp.maximum(new_ema["abs_phys"], 1e-30)
+            scaled_phys = phys_w * phys_total * jax.lax.stop_gradient(scale)
+        else:
+            mean_phys_w = sum(new_ema[k] for k in PHYS_KEYS) / len(PHYS_KEYS)
+            scaled_phys = phys_w * (phys_total / jnp.maximum(mean_phys_w, 1e-12))
         total = data_loss + scaled_phys
         return total, (data_loss, phys_total, new_ema)
 
@@ -210,7 +239,7 @@ def run_pretrain(
         params = model.init(key)
     optimizer, epoch_fn, n_batches = make_pretrain_epoch(model, X, Y, stats, cfg)
     opt_state = optimizer.init(params)
-    ema = {k: jnp.asarray(1.0) for k in ("data",) + PHYS_KEYS}
+    ema = {k: jnp.asarray(1.0) for k in ("data",) + PHYS_KEYS + ("abs_data", "abs_phys")}
 
     history = []
     t0 = time.time()

@@ -262,3 +262,52 @@ def test_finetune_full_scope_trains_quantum(rng):
     p2, hist = run_finetune(model, params, X, Y, stats, cfg)
     assert np.abs(np.asarray(p2["q"]) - q0).max() > 0
     assert min(hist) < 0.2 * hist[0], hist[:3] + hist[-3:]
+
+
+def test_physics_normalize_balanced_bounds_physics(rng):
+    """'balanced' scales physics to the data-loss magnitude via absolute
+    EMAs, so a huge raw residual (real pressure_coeff ~ 1.3e5 makes the
+    squared residual open ~1e12) cannot crush the data fit. In contrast the
+    reference's ratio-to-average scheme (EMAWeights,
+    CG_HQPINN_IBMtest_16qubits.py:408-422) cancels itself when the average
+    is physics-dominated, and the loss degenerates to pure physics."""
+    from qcpinn_tpu.train.cz_pipeline import PHYS_KEYS, make_pretrain_epoch
+
+    model = Hybrid16QPINN(n_qubits=3, n_layers=1)
+    N = 32
+    X = rng.uniform(0.05, 1, (N, 2)).astype(np.float32)
+    Y = rng.normal(0, 0.3, (N, 5)).astype(np.float32)
+    stats = DataStats(0.3, 0.17, 3722.0, 1685.0, 1750.0, 1.34e5)
+
+    def run(mode, epochs=6):
+        cfg = CzConfig(
+            n_qubits=3, n_layers=1, epochs=epochs, batch_size=16, lr=1e-3,
+            physics_warmup=0, physics_ramp=1, physics_normalize=mode,
+            seed=0,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        optimizer, epoch_fn, _ = make_pretrain_epoch(model, X, Y, stats, cfg)
+        opt_state = optimizer.init(params)
+        ema = {k: jnp.asarray(1.0)
+               for k in ("data",) + PHYS_KEYS + ("abs_data", "abs_phys")}
+        ms = []
+        for e in range(1, epochs + 1):
+            params, opt_state, ema, m = epoch_fn(
+                params, opt_state, ema, jnp.asarray(e, jnp.float32),
+                jax.random.PRNGKey(e))
+            ms.append(jax.device_get(m))
+        return ms
+
+    bal = run("balanced")
+    # physics contribution (total - data) stays a small fraction of the data
+    # loss once the absolute EMAs have converged, despite phys ~ 1e10 raw
+    last = bal[-1]
+    assert last["phys"] > 1e6  # the raw residual really is huge
+    assert last["loss"] - last["data"] < 0.5 * last["data"]
+    # and the data fit improves
+    assert last["data"] < 0.7 * bal[0]["data"]
+
+    ref = run("reference", epochs=2)
+    # the reference scheme leaves physics dominating the total by orders of
+    # magnitude — the documented collapse mechanism
+    assert ref[-1]["loss"] - ref[-1]["data"] > 100.0 * ref[-1]["data"]
