@@ -373,8 +373,19 @@ def cmd_cz(args) -> int:
             save_checkpoint(args.save, params, loss_history=history,
                             stats=stats.to_dict(), config=vars(args), epoch=epoch)
 
+        warm = None
+        if args.load:
+            # warm start: resume pretraining from a saved checkpoint's
+            # params (fresh optimizer/schedule — opt state is not part of
+            # the cz checkpoint format, matching the reference's
+            # save_checkpoint at CG_HQPINN_IBMtest_16qubits.py:443-455)
+            template = {"params": model.init(jax.random.PRNGKey(0)),
+                        "opt_state": None, "sched": None}
+            warm = load_checkpoint(args.load, template)["bundle"]["params"]
+            logger.print(f"warm start from {args.load}")
+
         params, history = run_pretrain(
-            model, X, Y, stats, cfg, logger=logger,
+            model, X, Y, stats, cfg, logger=logger, params=warm,
             checkpoint_fn=ckpt_fn if args.save_every else None,
             save_every=args.save_every,
         )
