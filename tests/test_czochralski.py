@@ -191,6 +191,30 @@ def test_two_phase_pipeline_smoke(rng):
     assert np.abs(np.asarray(params2["post"][0]["w"]) - post_before).max() > 0
 
 
+def test_pretrain_warm_start_resumes_from_params(rng):
+    """run_pretrain(params=...) must continue from the supplied weights
+    (the cz --phase pretrain --load warm-start path), not re-init: a
+    warm-started epoch starts at the trained loss, far below cold init.
+    Mirrors the reference's --load/--start-epoch resume
+    (cg-hqpinn/CG_HQPINN_IBMtest_16q_effective.py:802-804)."""
+    model = _small_model()
+    N = 64
+    X = rng.uniform(0.05, 1, (N, 2)).astype(np.float32)
+    Y = rng.uniform(-0.1, 0.1, (N, 5)).astype(np.float32)
+    stats = DataStats(1, 1, 1, 0, 1, 1.0)
+    cfg = CzConfig(
+        n_qubits=4, n_layers=1, epochs=2, batch_size=32, lr=3e-3,
+        physics_weight=0.0, physics_warmup=0, physics_ramp=1,
+        log_every=10, seed=0,
+    )
+    trained, hist_cold = run_pretrain(model, X, Y, stats, cfg)
+    warm, hist_warm = run_pretrain(model, X, Y, stats, cfg, params=trained)
+    # warm start resumes well below where the cold run *started*
+    assert hist_warm[0] < 0.5 * hist_cold[0]
+    # and keeps improving from the handed-off weights, not from scratch
+    assert hist_warm[-1] <= hist_cold[-1]
+
+
 def test_finetune_with_noise_model(rng):
     """Noisy-simulator finetune (the reference's ibm-sim phase,
     cg-hqpinn/...16q_effective.py:183-196): NoiseModel shrinks the Cz
