@@ -109,9 +109,11 @@ def _build(use_pallas: bool, batch: int):
 
 
 def main():
+    import os
+
     import jax
 
-    batch = 1024
+    batch = int(os.environ.get("QCPINN_BENCH_BATCH", "1024"))
     n_steps = 30
     for use_pallas in (True, False):
         try:
