@@ -99,6 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--quick-check", action="store_true",
                    help="2-epoch, tiny-model smoke run")
     c.add_argument("--output-dir", default="runs")
+    c.add_argument("--no-plots", action="store_true")
     return p
 
 
@@ -360,9 +361,21 @@ def cmd_cz(args) -> int:
                     "opt_state": None, "sched": None}
         restored = load_checkpoint(args.load, template)
         params = restored["bundle"]["params"]
-        metrics = evaluate_cz_fields(model.apply, params, X, Y)
+        metrics, pred = evaluate_cz_fields(model.apply, params, X, Y,
+                                           return_pred=True)
         for k, v in metrics.items():
             logger.print(f"{k}: {v:.6e}")
+        if not args.no_plots:
+            # truth-vs-prediction field maps over the node cloud — the
+            # visual counterpart of the rel-L2 table (the reference plots
+            # these in its diagnostics suite, cg-hqpinn/...:515-587)
+            from .utils.plotting import plot_field_scatter
+
+            p = plot_field_scatter(
+                X, Y, ["u_r", "u_z", "u_theta", "p", "T"],
+                logger.get_output_dir(), name="eval_fields", pred=pred,
+            )
+            logger.print(f"field maps written to {p}")
         import json as _json
 
         logger.print(_json.dumps(metrics))

@@ -71,8 +71,9 @@ CZ_FIELDS = ("u_r", "u_z", "u_theta", "p", "T")
 
 
 def evaluate_cz_fields(
-    model_apply: Callable, params, X, Y, batch: int = 2048
-) -> Dict[str, float]:
+    model_apply: Callable, params, X, Y, batch: int = 2048,
+    return_pred: bool = False,
+):
     """Field-wise relative-L2 (%) + overall val MSE on the (normalized)
     COMSOL node set — the flagship Czochralski accuracy metric. Chunked:
     at 16 qubits one forward over all 18k nodes would materialize an
@@ -94,6 +95,8 @@ def evaluate_cz_fields(
         num = float(np.linalg.norm(pred[:, k] - Y[:, k]))
         den = max(float(np.linalg.norm(Y[:, k])), 1e-12)
         out[f"rel_l2_{name}_percent"] = 100.0 * num / den
+    if return_pred:
+        return out, pred
     return out
 
 

@@ -59,6 +59,10 @@ def test_cz_cli_three_phase_roundtrip(tmp_path, capsys):
     metrics = json.loads(lines[-1])
     assert set(metrics) >= {"val_mse", "rel_l2_T_percent"}
     assert np.isfinite(list(metrics.values())).all()
+    # eval emits the truth-vs-prediction field maps unless --no-plots
+    import glob
+
+    assert glob.glob(os.path.join(out, "*", "eval_fields.png"))
 
 
 @pytest.mark.skipif(not os.path.exists(CZ_PATH), reason="COMSOL fixture absent")
