@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "scheme (collapses the data fit when raw residuals "
                         "dwarf the data loss); 'balanced' = scale physics "
                         "to the data-loss magnitude via absolute EMAs")
+    c.add_argument("--field-weights", default=None,
+                   help="comma-separated data-loss weights over "
+                        "u_r,u_z,u_theta,p,T (normalized to mean 1); "
+                        "upweights the small-magnitude velocity fields "
+                        "that uniform MSE under-fits")
     c.add_argument("--shots", type=int, default=4096)
     c.add_argument("--calib-size", type=int, default=8)
     c.add_argument("--train-scope", default="head", choices=["head", "full"])
@@ -342,6 +347,10 @@ def cmd_cz(args) -> int:
         train_scope=args.train_scope,
         noise_depolarizing=getattr(args, "noise_depolarizing", 0.0),
         noise_readout=getattr(args, "noise_readout", 0.0),
+        field_weights=(
+            tuple(float(v) for v in args.field_weights.split(","))
+            if args.field_weights else None
+        ),
     )
     model = Hybrid16QPINN(
         n_qubits=cfg.n_qubits, n_layers=cfg.n_layers, remat=cfg.effective_remat

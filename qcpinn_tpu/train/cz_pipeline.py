@@ -98,10 +98,27 @@ class CzConfig:
     # batch > 256, where unremat per-gate intermediates exceed one v5e's
     # HBM; off below — measured 32% faster when it fits)
     remat: Optional[bool] = None
+    # Per-field data-loss weights over (u_r, u_z, u_theta, p, T), or None
+    # for uniform MSE (the reference's loss). Normalized to mean 1, so the
+    # data-loss magnitude — and therefore the EMA physics balance — is
+    # unchanged; only the per-field gradient allocation shifts. Not in the
+    # reference: an accuracy lever for the small-magnitude velocity
+    # components, which equal-weight MSE demonstrably under-fits
+    # (PARITY.md field table: u_r/u_theta carry ~100x the rel-L2 of p/T).
+    field_weights: Optional[Tuple[float, ...]] = None
 
     @property
     def effective_remat(self) -> bool:
         return self.batch_size > 256 if self.remat is None else self.remat
+
+    def norm_field_weights(self):
+        """field_weights as a mean-1 jnp row vector, or None."""
+        if self.field_weights is None:
+            return None
+        w = jnp.asarray(self.field_weights, jnp.float32)
+        if w.ndim != 1 or w.size != 5:
+            raise ValueError("field_weights must be 5 values (u_r,u_z,u_theta,p,T)")
+        return w * (w.size / jnp.sum(w))
 
 
 def _cosine_lr(base_lr: float, epoch: jnp.ndarray, t_max: int) -> jnp.ndarray:
@@ -130,9 +147,12 @@ def make_pretrain_epoch(
 
     residual_fn = cz_residuals if cfg.physics_mode == "rev" else cz_residuals_fwd
 
+    fw = cfg.norm_field_weights()
+
     def batch_loss(params, xb, yb, ema, phys_w):
         pred = model.apply(params, xb)
-        data_loss = jnp.mean((pred - yb) ** 2)
+        sq = (pred - yb) ** 2
+        data_loss = jnp.mean(sq if fw is None else sq * fw)
         phys_total, phys_terms = residual_fn(
             lambda Xp: model.apply(params, Xp),
             xb,
@@ -328,6 +348,8 @@ def run_finetune(
     optimizer = optax.adam(cfg.finetune_lr)
     opt_state = optimizer.init(params)
 
+    fw = cfg.norm_field_weights()
+
     @jax.jit
     def step(params, opt_state, key):
         def loss_fn(p):
@@ -335,7 +357,8 @@ def run_finetune(
                 p, xb, shots=cfg.shots, key=key, noise=noise,
                 detach_quantum=detach_quantum, q_apply=q_apply,
             )
-            return jnp.mean((pred - yb) ** 2)
+            sq = (pred - yb) ** 2
+            return jnp.mean(sq if fw is None else sq * fw)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.tree_util.tree_map(

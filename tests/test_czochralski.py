@@ -335,3 +335,45 @@ def test_physics_normalize_balanced_bounds_physics(rng):
     # the reference scheme leaves physics dominating the total by orders of
     # magnitude — the documented collapse mechanism
     assert ref[-1]["loss"] - ref[-1]["data"] > 100.0 * ref[-1]["data"]
+
+
+def test_field_weights_normalized_and_steer_gradients(rng):
+    """field_weights are mean-1 normalized (uniform weights reproduce the
+    reference's plain MSE exactly) and reallocate per-field gradient mass:
+    upweighting one field shrinks its per-field error faster than uniform
+    training does, at matched steps."""
+    from qcpinn_tpu.train.cz_pipeline import PHYS_KEYS, make_pretrain_epoch
+
+    model = Hybrid16QPINN(n_qubits=3, n_layers=1)
+    N = 64
+    X = rng.uniform(0.05, 1, (N, 2)).astype(np.float32)
+    Y = rng.normal(0, 0.3, (N, 5)).astype(np.float32)
+    stats = DataStats(0.3, 0.17, 3722.0, 1685.0, 1750.0, 1.34e5)
+
+    # normalization: any uniform vector == None
+    cfg_u = CzConfig(field_weights=(3.0,) * 5)
+    assert np.allclose(np.asarray(cfg_u.norm_field_weights()), 1.0)
+    with pytest.raises(ValueError):
+        CzConfig(field_weights=(1.0, 2.0)).norm_field_weights()
+
+    def run(fw, epochs=8):
+        cfg = CzConfig(
+            n_qubits=3, n_layers=1, epochs=epochs, batch_size=32, lr=3e-3,
+            physics_weight=0.0, physics_warmup=10**6, seed=0,
+            field_weights=fw,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        optimizer, epoch_fn, _ = make_pretrain_epoch(model, X, Y, stats, cfg)
+        opt_state = optimizer.init(params)
+        ema = {k: jnp.asarray(1.0)
+               for k in ("data",) + PHYS_KEYS + ("abs_data", "abs_phys")}
+        for e in range(1, epochs + 1):
+            params, opt_state, ema, _ = epoch_fn(
+                params, opt_state, ema, jnp.asarray(e, jnp.float32),
+                jax.random.PRNGKey(e))
+        pred = np.asarray(model.apply(params, jnp.asarray(X)))
+        return np.mean((pred - Y) ** 2, axis=0)  # per-field MSE
+
+    uniform = run(None)
+    boosted = run((8.0, 1.0, 1.0, 1.0, 1.0))  # upweight u_r
+    assert boosted[0] < uniform[0]  # the boosted field fits faster
