@@ -257,18 +257,32 @@ def make_sharded_circuit_apply(
     a = int(np.log2(A))
     if (1 << a) != A:
         raise ValueError(f"amp axis size {A} must be a power of 2")
-    if circuit.encoding != "angle":
-        raise ValueError("sharded engine currently supports angle encoding")
+    if circuit.encoding not in ("angle", "amplitude"):
+        raise ValueError(f"unsupported encoding: {circuit.encoding}")
     ops = ShardedOps(circuit.n, a, amp_axis)
 
     def inner(params, x):
-        # local zero state: only shard 0 holds the |0...0> amplitude
         b = x.shape[0]
         idx = jax.lax.axis_index(amp_axis)
-        local = jnp.zeros((b, 1 << ops.n_local), dtype=jnp.complex64)
-        local = local.at[:, 0].set(jnp.where(idx == 0, 1.0 + 0.0j, 0.0 + 0.0j))
-        for w in range(circuit.n):
-            local = ops.apply_1q(local, w, gates.rx(x[:, w]))
+        if circuit.encoding == "amplitude":
+            # AmplitudeEmbedding (nn/DVQuantumLayer.py:177-180): the
+            # normalized zero-padded state's shard layout is contiguous
+            # (device s holds the amplitudes whose leading `a` wire bits
+            # equal s), so each device just keeps its 2^(n-a) slice. The
+            # full [B_local, 2^n] vector exists only as an XLA temp that
+            # fuses into the slice.
+            full = sv.encode_amplitude(x, circuit.n)
+            local = jax.lax.dynamic_slice_in_dim(
+                full, idx * (1 << ops.n_local), 1 << ops.n_local, axis=1
+            )
+        else:
+            # local zero state: only shard 0 holds the |0...0> amplitude
+            local = jnp.zeros((b, 1 << ops.n_local), dtype=jnp.complex64)
+            local = local.at[:, 0].set(
+                jnp.where(idx == 0, 1.0 + 0.0j, 0.0 + 0.0j)
+            )
+            for w in range(circuit.n):
+                local = ops.apply_1q(local, w, gates.rx(x[:, w]))
         p2 = params.reshape(circuit.layers, circuit.params_per_layer)
         for layer in range(circuit.layers):
             local = ops.apply_program(local, circuit.program, p2[layer])

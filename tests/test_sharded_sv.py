@@ -145,3 +145,19 @@ def test_gradients_through_sharded_engine():
     g_sharded = jax.jit(jax.grad(lambda p: jnp.sum(sharded(p, x) ** 2)))(params)
     g_ref = jax.jit(jax.grad(lambda p: jnp.sum(circ.apply(p, x) ** 2)))(params)
     np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("amp", [2, 4])
+def test_amplitude_encoding_sharded(amp):
+    """Amplitude encoding on the sharded engine: the normalized zero-padded
+    prepared state's contiguous shard slices must reproduce the unsharded
+    engine exactly (nn/DVQuantumLayer.py:177-180 semantics), including
+    feature counts that need padding."""
+    circ = DVCircuit(4, 1, "cascade", encoding="amplitude", seed=7)
+    params = circ.init_params(jax.random.PRNGKey(0))
+    # 10 features -> zero-padded to 2^4 = 16 and L2-normalized per sample
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 10))
+    ref = np.asarray(jax.jit(circ.apply)(params, x))
+    mesh = make_mesh(data=8 // amp, amp=amp)
+    got = np.asarray(jax.jit(make_sharded_circuit_apply(circ, mesh))(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5)
