@@ -425,14 +425,15 @@ def cmd_cz(args) -> int:
             stats = DataStats.from_dict(restored["stats"])
             logger.print("normalization stats restored from checkpoint")
         # pre-finetune diagnostic suite (cg-hqpinn/...:515-587)
-        from .data.cz_loader import choose_calibration_subset
-        from .utils.plotting import plot_cz_diagnostics
+        if not args.no_plots:
+            from .data.cz_loader import choose_calibration_subset
+            from .utils.plotting import plot_cz_diagnostics
 
-        x_c, _ = choose_calibration_subset(X, Y, cfg.calib_size)
-        plot_cz_diagnostics(model.apply, params, X, Y,
-                            logger.get_output_dir(), x_calib=x_c)
-        logger.print("diagnostic plots written (data_fields/calib_coverage/"
-                     "initial_pred_vs_gt/quantum_weights_hist)")
+            x_c, _ = choose_calibration_subset(X, Y, cfg.calib_size)
+            plot_cz_diagnostics(model.apply, params, X, Y,
+                                logger.get_output_dir(), x_calib=x_c)
+            logger.print("diagnostic plots written (data_fields/calib_coverage/"
+                         "initial_pred_vs_gt/quantum_weights_hist)")
         params, history = run_finetune(model, params, X, Y, stats, cfg, logger=logger)
         save_checkpoint(args.save, params, loss_history=history,
                         stats=stats.to_dict(), config=vars(args), epoch=cfg.finetune_epochs)

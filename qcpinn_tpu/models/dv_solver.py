@@ -99,7 +99,9 @@ class DVSolver:
         the preprocessor, composing with ordinary autodiff elsewhere."""
         from ..train.hardware_grad import make_hw_apply
 
-        hw = make_hw_apply(self.circuit, shots)
+        # self.noise rides along so the parameter-shift training channel
+        # matches apply()/validation/eval (same depolarizing/readout model)
+        hw = make_hw_apply(self.circuit, shots, noise=self.noise)
 
         def apply(params, x, key):
             pre = nc.mlp_apply(params["pre"], x)

@@ -136,8 +136,12 @@ def make_pretrain_epoch(
     n_batches = len(X) // cfg.batch_size
     if n_batches == 0:
         raise ValueError("batch_size larger than dataset")
-    Xd = jnp.asarray(X[: n_batches * cfg.batch_size])
-    Yd = jnp.asarray(Y[: n_batches * cfg.batch_size])
+    # Keep the FULL dataset on device; each epoch's permutation is over all
+    # rows and the per-epoch remainder (len(X) mod batch) is dropped after
+    # shuffling, so the dropped rows rotate across epochs instead of the
+    # same tail being excluded from every epoch.
+    Xd = jnp.asarray(X)
+    Yd = jnp.asarray(Y)
 
     optimizer = optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -202,7 +206,7 @@ def make_pretrain_epoch(
 
     @jax.jit
     def shuffle(key):
-        perm = jax.random.permutation(key, n_batches * cfg.batch_size)
+        perm = jax.random.permutation(key, len(Xd))[: n_batches * cfg.batch_size]
         return (
             Xd[perm].reshape(n_batches, cfg.batch_size, -1),
             Yd[perm].reshape(n_batches, cfg.batch_size, -1),

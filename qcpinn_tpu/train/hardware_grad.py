@@ -50,11 +50,15 @@ def _param_kinds(circuit: DVCircuit) -> List[str]:
     return kinds
 
 
-def make_hw_apply(circuit: DVCircuit, shots: Optional[int]):
+def make_hw_apply(circuit: DVCircuit, shots: Optional[int], noise=None):
     """Build ``hw_apply(params, x, key) -> [B, n]`` with parameter-shift VJP.
 
     ``shots=None`` gives the exact estimator through the same code path
-    (useful for validating the shift rules against autodiff).
+    (useful for validating the shift rules against autodiff). ``noise``
+    (a measure.NoiseModel) is applied inside every evaluation — the shift
+    rules stay exact for the noisy expectation because the channel acts on
+    ⟨Z⟩ as a parameter-independent linear map, so training and evaluation
+    see the same channel.
     """
     if circuit.encoding != "angle":
         raise ValueError("parameter-shift input gradients need angle encoding")
@@ -66,7 +70,8 @@ def make_hw_apply(circuit: DVCircuit, shots: Optional[int]):
 
     def evaluate(params, x, key):
         return circuit.apply(
-            params, x, shots=shots, key=(key if shots is not None else None)
+            params, x, shots=shots, key=(key if shots is not None else None),
+            noise=noise,
         )
 
     def _shift_evals(params, x, key, flat_indices, shift):

@@ -146,14 +146,17 @@ def make_train_step(
             batches[name] = (constrain(X), constrain(y))
 
         if use_spsa:
-            params, loss = spsa_step(
-                lambda p, kk: loss_fn(p, batches, kk)[0],
+            # per-term metrics ride the two SPSA evaluations (has_aux) —
+            # no third loss evaluation; the step cost stays at SPSA's
+            # 2-evals-per-step hardware budget
+            params, loss, per_term = spsa_step(
+                lambda p, kk: loss_fn(p, batches, kk),
                 params,
                 step_id.astype(jnp.float32) + 1.0,
                 k_spsa,
                 spsa_cfg,
+                has_aux=True,
             )
-            _, per_term = loss_fn(params, batches, k_shot)
         else:
             (loss, per_term), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batches, k_shot

@@ -46,10 +46,17 @@ def spsa_step(
     k: jnp.ndarray,
     key: jax.Array,
     cfg: SPSAConfig = SPSAConfig(),
+    has_aux: bool = False,
 ) -> Tuple[object, jnp.ndarray]:
     """One SPSA update on a params pytree. ``loss_fn(params, key) -> scalar``
     (the key lets shot-sampled losses stay reproducible). ``k`` is the
     1-based step counter. Returns (new_params, mean loss). Jit-compatible.
+
+    With ``has_aux=True``, ``loss_fn`` returns ``(scalar, aux)`` and the
+    step returns ``(new_params, mean loss, aux)`` where aux is the
+    leaf-wise mean of the two perturbed evaluations — per-term metrics at
+    the SPSA 2-evaluations-per-step hardware budget (no third evaluation;
+    the ±c_k average matches the unperturbed value to O(c_k²)).
     """
     kf = k.astype(jnp.float32)
     ak = cfg.a / (kf**cfg.alpha)
@@ -60,15 +67,25 @@ def spsa_step(
 
     plus = jax.tree_util.tree_map(lambda p, d: p + ck * d, params, delta)
     minus = jax.tree_util.tree_map(lambda p, d: p - ck * d, params, delta)
-    loss_plus = loss_fn(plus, k_plus)
-    loss_minus = loss_fn(minus, k_minus)
+    if has_aux:
+        loss_plus, aux_plus = loss_fn(plus, k_plus)
+        loss_minus, aux_minus = loss_fn(minus, k_minus)
+    else:
+        loss_plus = loss_fn(plus, k_plus)
+        loss_minus = loss_fn(minus, k_minus)
 
     ghat = (loss_plus - loss_minus) / (2.0 * ck)
     # reference divides by d elementwise; d in {-1, +1} so /d == *d
     new_params = jax.tree_util.tree_map(
         lambda p, d: p - ak * ghat * d, params, delta
     )
-    return new_params, (loss_plus + loss_minus) / 2.0
+    mean_loss = (loss_plus + loss_minus) / 2.0
+    if has_aux:
+        aux = jax.tree_util.tree_map(
+            lambda a, b: (a + b) / 2.0, aux_plus, aux_minus
+        )
+        return new_params, mean_loss, aux
+    return new_params, mean_loss
 
 
 def make_spsa_trainer(loss_fn: Callable, cfg: SPSAConfig = SPSAConfig()):

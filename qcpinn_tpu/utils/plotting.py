@@ -94,6 +94,8 @@ def draw_contourf_grid(
             pred, exact, err = fields[i]
             smin = min(pred.min(), exact.min())
             smax = max(pred.max(), exact.max())
+            if smax <= smin:  # constant slice: widen so levels increase
+                smax = smin + 1e-6
             f1, ax1 = plt.subplots(1, 3, figsize=(12, 3.6))
             panels = [
                 (pred, "prediction", "rainbow", smin, smax),

@@ -218,3 +218,18 @@ def test_make_val_fn_is_mse():
     y = jnp.ones((4, 1)) * 3.0
     v = make_val_fn(apply, X, y)({"w": jnp.asarray(1.0)})
     np.testing.assert_allclose(float(v), 1.0, rtol=1e-6)
+
+
+def test_per_timestep_contour_constant_slice(tmp_path):
+    """A constant prediction+exact slice (smin == smax) must still export —
+    the level vector is widened so matplotlib's increasing-levels check
+    passes (regression: collapsed models crashed cmd_train's plot stage)."""
+    import jax.numpy as jnp
+
+    from qcpinn_tpu.utils.plotting import draw_contourf_grid
+
+    apply = lambda p, X: jnp.zeros_like(X[:, :1])
+    exact = lambda X: jnp.zeros_like(X[:, :1])
+    draw_contourf_grid(apply, None, exact, str(tmp_path), times=(0.5,),
+                       num=6, per_timestep=True)
+    assert os.path.exists(tmp_path / "tricontourf_0.pdf")

@@ -47,9 +47,15 @@ def test_cz_cli_three_phase_roundtrip(tmp_path, capsys):
 
     rc = main(base + ["--phase", "finetune", "--epochs", "2", "--load", ck2,
                       "--save", ck_ft, "--shots", "128", "--calib-size", "4",
-                      "--train-scope", "head"])
+                      "--train-scope", "head", "--no-plots"])
     assert rc == 0
     assert os.path.exists(ck_ft + ".npz")
+    # --no-plots suppresses the pre-finetune diagnostic suite (regression:
+    # the flag was ignored by the finetune phase); the suite itself is
+    # covered by test_aux_capabilities.py::test_cz_diagnostics_suite
+    import glob as _glob
+
+    assert not _glob.glob(os.path.join(out, "*", "data_fields*"))
 
     capsys.readouterr()
     rc = main(base + ["--phase", "eval", "--load", ck_ft])

@@ -377,3 +377,41 @@ def test_field_weights_normalized_and_steer_gradients(rng):
     uniform = run(None)
     boosted = run((8.0, 1.0, 1.0, 1.0, 1.0))  # upweight u_r
     assert boosted[0] < uniform[0]  # the boosted field fits faster
+
+
+def test_epoch_shuffle_rotates_dataset_tail(rng):
+    """len(X) % batch rows are dropped per-epoch AFTER a full-dataset
+    permutation, so the dropped remainder rotates across epochs
+    (regression: the tail was truncated once at build time and NEVER
+    trained). Tail rows live in a distinct input region with distinct
+    targets; with rotation the model must learn them."""
+    from qcpinn_tpu.train.cz_pipeline import PHYS_KEYS, make_pretrain_epoch
+
+    model = Hybrid16QPINN(n_qubits=3, n_layers=1)
+    # 32 head rows near the origin with target 0; 8 tail rows in a far
+    # corner with target 1 — only reachable through the shuffle rotation
+    Xh = rng.uniform(0.05, 0.3, (32, 2)).astype(np.float32)
+    Xt = rng.uniform(0.8, 1.0, (8, 2)).astype(np.float32)
+    X = np.concatenate([Xh, Xt])
+    Y = np.concatenate(
+        [np.zeros((32, 5)), np.ones((8, 5))]
+    ).astype(np.float32)
+    cfg = CzConfig(
+        n_qubits=3, n_layers=1, epochs=40, batch_size=32, lr=5e-3,
+        physics_weight=0.0, physics_warmup=10**6, seed=0,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer, epoch_fn, n_batches = make_pretrain_epoch(model, X, Y, stats=DataStats(
+        0.3, 0.17, 3722.0, 1685.0, 1750.0, 1.34e5), cfg=cfg)
+    assert n_batches == 1  # 40 rows, batch 32 -> one batch + 8-row tail
+    opt_state = optimizer.init(params)
+    ema = {k: jnp.asarray(1.0)
+           for k in ("data",) + PHYS_KEYS + ("abs_data", "abs_phys")}
+    for e in range(1, cfg.epochs + 1):
+        params, opt_state, ema, _ = epoch_fn(
+            params, opt_state, ema, jnp.asarray(e, jnp.float32),
+            jax.random.PRNGKey(e))
+    pred_tail = np.asarray(model.apply(params, jnp.asarray(Xt)))
+    # untrained-tail behavior predicts ~0 there (head rows all-zero targets);
+    # rotation must pull the tail region decisively toward 1
+    assert pred_tail.mean() > 0.4, pred_tail.mean()

@@ -260,3 +260,25 @@ def test_logger_and_config_dump(tmp_path):
     with open(os.path.join(logger.get_output_dir(), "output.log")) as f:
         content = f.read()
     assert "hello" in content
+
+
+def test_hw_apply_noise_channel_matches_exact():
+    """make_hw_apply(noise=...) must evaluate through the SAME channel as
+    circuit.apply(noise=...): with shots=None the two forwards are equal,
+    and the parameter-shift gradient is the exact gradient of the NOISY
+    expectation (regression: the training channel silently dropped noise
+    while validation/eval applied it)."""
+    circ = DVCircuit(3, 1, "cascade")
+    params = circ.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, (4, 3)).astype(np.float32))
+    noise = NoiseModel(depolarizing=0.1, readout=0.02)
+    hw = make_hw_apply(circ, shots=None, noise=noise)
+    key = jax.random.PRNGKey(1)
+    np.testing.assert_allclose(
+        np.asarray(hw(params, x, key)),
+        np.asarray(circ.apply(params, x, noise=noise)),
+        atol=1e-6,
+    )
+    g_hw = jax.grad(lambda p: jnp.sum(hw(p, x, key) ** 2))(params)
+    g_ex = jax.grad(lambda p: jnp.sum(circ.apply(p, x, noise=noise) ** 2))(params)
+    np.testing.assert_allclose(np.asarray(g_hw), np.asarray(g_ex), atol=2e-4)
