@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "u_r,u_z,u_theta,p,T (normalized to mean 1); "
                         "upweights the small-magnitude velocity fields "
                         "that uniform MSE under-fits")
+    c.add_argument("--time-budget", type=float, default=0.0,
+                   help="pretrain wall-clock budget in minutes (0 = none): "
+                        "stop gracefully after the epoch that crosses it "
+                        "and save the final checkpoint — unlike an external "
+                        "`timeout`, no training is lost to the kill")
     c.add_argument("--shots", type=int, default=4096)
     c.add_argument("--calib-size", type=int, default=8)
     c.add_argument("--train-scope", default="head", choices=["head", "full"])
@@ -410,6 +415,7 @@ def cmd_cz(args) -> int:
             model, X, Y, stats, cfg, logger=logger, params=warm,
             checkpoint_fn=ckpt_fn if args.save_every else None,
             save_every=args.save_every,
+            time_budget_s=args.time_budget * 60.0,
         )
         save_checkpoint(args.save, params, loss_history=history,
                         stats=stats.to_dict(), config=vars(args), epoch=cfg.epochs)

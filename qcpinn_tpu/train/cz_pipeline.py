@@ -253,7 +253,12 @@ def run_pretrain(
     start_epoch: int = 0,
     checkpoint_fn=None,
     save_every: int = 0,
+    time_budget_s: float = 0.0,
 ) -> Tuple[dict, list]:
+    """``time_budget_s`` > 0 stops gracefully (checkpoint saved by the
+    caller as usual) once an epoch ends past the budget — unlike an
+    external ``timeout`` kill, no work is lost. Sized so that remote-chip
+    stalls or compile-time variance can't eat the final save."""
     def log(msg):
         if logger is not None:
             logger.print(msg)
@@ -285,6 +290,12 @@ def run_pretrain(
             )
         if checkpoint_fn is not None and save_every and epoch % save_every == 0:
             checkpoint_fn(params, epoch, history)
+        if time_budget_s > 0 and time.time() - t0 > time_budget_s:
+            log(
+                f"[PRETRAIN] time budget {time_budget_s:.0f}s reached at "
+                f"epoch {epoch}/{cfg.epochs} — stopping gracefully"
+            )
+            break
     return params, history
 
 

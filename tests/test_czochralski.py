@@ -415,3 +415,22 @@ def test_epoch_shuffle_rotates_dataset_tail(rng):
     # untrained-tail behavior predicts ~0 there (head rows all-zero targets);
     # rotation must pull the tail region decisively toward 1
     assert pred_tail.mean() > 0.4, pred_tail.mean()
+
+
+def test_pretrain_time_budget_stops_gracefully(rng, capsys):
+    """time_budget_s stops after the epoch that crosses the budget and
+    returns the params/history accumulated so far (the caller then saves
+    normally), instead of losing the run to an external timeout kill."""
+    from qcpinn_tpu.train.cz_pipeline import run_pretrain
+
+    model = Hybrid16QPINN(n_qubits=3, n_layers=1)
+    X = rng.uniform(0.05, 1, (64, 2)).astype(np.float32)
+    Y = rng.normal(0, 0.3, (64, 5)).astype(np.float32)
+    stats = DataStats(0.3, 0.17, 3722.0, 1685.0, 1750.0, 1.34e5)
+    cfg = CzConfig(n_qubits=3, n_layers=1, epochs=500, batch_size=32,
+                   physics_weight=0.0, physics_warmup=10**6, seed=0)
+    params, history = run_pretrain(
+        model, X, Y, stats, cfg, time_budget_s=1e-6)
+    assert len(history) == 1  # stopped right after the first epoch
+    assert np.isfinite(history).all()
+    assert "stopping gracefully" in capsys.readouterr().out
