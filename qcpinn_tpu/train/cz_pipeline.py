@@ -153,18 +153,28 @@ def make_pretrain_epoch(
 
     fw = cfg.norm_field_weights()
 
+    # physics_weight == 0 is a static supervised/data-only mode: the PDE
+    # residual graph (the expensive ~85% of the step: forward-mode second
+    # derivatives through the 16q circuit) is never built, so capacity
+    # probes and pure-data fits run ~6x faster per epoch.
+    data_only = cfg.physics_weight == 0.0
+
     def batch_loss(params, xb, yb, ema, phys_w):
         pred = model.apply(params, xb)
         sq = (pred - yb) ** 2
         data_loss = jnp.mean(sq if fw is None else sq * fw)
-        phys_total, phys_terms = residual_fn(
-            lambda Xp: model.apply(params, Xp),
-            xb,
-            stats.pressure_coeff,
-            cfg.re,
-            cfg.pr,
-            cfg.gr,
-        )
+        if data_only:
+            phys_total = jnp.float32(0.0)
+            phys_terms = {k: jnp.float32(0.0) for k in PHYS_KEYS}
+        else:
+            phys_total, phys_terms = residual_fn(
+                lambda Xp: model.apply(params, Xp),
+                xb,
+                stats.pressure_coeff,
+                cfg.re,
+                cfg.pr,
+                cfg.gr,
+            )
         # EMA-normalized physics weight (:510-513): weights are EMA'd
         # relative magnitudes; only the *mean physics weight* scales the loss.
         detached = {

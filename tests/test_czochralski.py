@@ -215,6 +215,42 @@ def test_pretrain_warm_start_resumes_from_params(rng):
     assert hist_warm[-1] <= hist_cold[-1]
 
 
+def test_pretrain_data_only_mode_skips_physics(rng):
+    """physics_weight == 0 is a static supervised mode: the residual graph
+    is never built (the expensive ~85% of a 16q step), the reported phys
+    metric is exactly zero, and the data loss still trains down."""
+    from qcpinn_tpu.train.cz_pipeline import make_pretrain_epoch
+
+    model = _small_model()
+    N = 64
+    X = rng.uniform(0.05, 1, (N, 2)).astype(np.float32)
+    Y = rng.uniform(-0.1, 0.1, (N, 5)).astype(np.float32)
+    stats = DataStats(1, 1, 1, 0, 1, 1.0)
+    cfg = CzConfig(
+        n_qubits=4, n_layers=1, epochs=4, batch_size=32, lr=3e-3,
+        physics_weight=0.0, physics_warmup=0, physics_ramp=1,
+        log_every=10, seed=0,
+    )
+    optimizer, epoch_fn, _ = make_pretrain_epoch(model, X, Y, stats, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_state = optimizer.init(params)
+    from qcpinn_tpu.train.cz_pipeline import PHYS_KEYS
+
+    ema = {k: jnp.asarray(1.0) for k in ("data",) + PHYS_KEYS + ("abs_data", "abs_phys")}
+    first = last = None
+    for e in range(1, cfg.epochs + 1):
+        params, opt_state, ema, m = epoch_fn(
+            params, opt_state, ema, jnp.asarray(e, jnp.float32),
+            jax.random.PRNGKey(e),
+        )
+        m = jax.device_get(m)
+        assert float(m["phys"]) == 0.0
+        last = float(m["loss"])
+        if first is None:
+            first = last
+    assert np.isfinite(last) and last < first
+
+
 def test_finetune_with_noise_model(rng):
     """Noisy-simulator finetune (the reference's ibm-sim phase,
     cg-hqpinn/...16q_effective.py:183-196): NoiseModel shrinks the Cz
