@@ -417,8 +417,11 @@ def cmd_cz(args) -> int:
             save_every=args.save_every,
             time_budget_s=args.time_budget * 60.0,
         )
+        # len(history) = epochs actually run (a --time-budget stop may end
+        # the run early; the checkpoint metadata must not claim cfg.epochs)
         save_checkpoint(args.save, params, loss_history=history,
-                        stats=stats.to_dict(), config=vars(args), epoch=cfg.epochs)
+                        stats=stats.to_dict(), config=vars(args),
+                        epoch=len(history))
         logger.print(f"pretrain checkpoint saved to {args.save}.npz (+ stats sidecar)")
         logger.print(f"trainable parameters: {count_trainable(params)}")
     else:
