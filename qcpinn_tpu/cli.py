@@ -364,6 +364,12 @@ def cmd_cz(args) -> int:
     if args.phase in ("pretrain", "finetune") and not args.save:
         raise SystemExit(f"{args.phase} phase requires --save")
 
+    if args.time_budget and args.phase != "pretrain":
+        logger.print(
+            f"WARNING: --time-budget only applies to the pretrain phase; "
+            f"ignored for --phase {args.phase}"
+        )
+
     if args.phase == "eval":
         # field-wise rel-L2 + val MSE over the full node set — the flagship
         # accuracy report (PARITY.md Cz table)

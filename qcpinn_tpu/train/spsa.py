@@ -47,10 +47,11 @@ def spsa_step(
     key: jax.Array,
     cfg: SPSAConfig = SPSAConfig(),
     has_aux: bool = False,
-) -> Tuple[object, jnp.ndarray]:
+) -> Tuple:
     """One SPSA update on a params pytree. ``loss_fn(params, key) -> scalar``
     (the key lets shot-sampled losses stay reproducible). ``k`` is the
-    1-based step counter. Returns (new_params, mean loss). Jit-compatible.
+    1-based step counter. Returns ``(new_params, mean loss)`` — or a
+    3-tuple with ``has_aux=True``, below. Jit-compatible.
 
     With ``has_aux=True``, ``loss_fn`` returns ``(scalar, aux)`` and the
     step returns ``(new_params, mean loss, aux)`` where aux is the

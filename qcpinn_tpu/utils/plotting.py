@@ -95,7 +95,10 @@ def draw_contourf_grid(
             smin = min(pred.min(), exact.min())
             smax = max(pred.max(), exact.max())
             if smax <= smin:  # constant slice: widen so levels increase
-                smax = smin + 1e-6
+                # relative epsilon: the arrays are float32, where an
+                # absolute +1e-6 underflows to a no-op for |smin| >= 32
+                # (e.g. a collapsed model predicting a constant ~1750 K)
+                smax = float(smin) + max(1e-6, abs(float(smin)) * 1e-5)
             f1, ax1 = plt.subplots(1, 3, figsize=(12, 3.6))
             panels = [
                 (pred, "prediction", "rainbow", smin, smax),
