@@ -68,17 +68,32 @@ class DVSolver:
         return self
 
     def use_sharded(
-        self, mesh, amp_axis: str = "amp", data_axis: str = "data"
+        self, mesh, amp_axis: str = "amp", data_axis: str = "data",
+        backend: str = "gate",
     ) -> "DVSolver":
-        """Route the quantum block through the amplitude-sharded engine
-        (parallel/sharded_sv.py): the 2^n state is split over the mesh's
-        ``amp_axis`` (cross-shard gates ride ICI ppermutes) and the batch
+        """Route the quantum block through an amplitude-sharded engine:
+        the 2^n state is split over the mesh's ``amp_axis`` and the batch
         over ``data_axis``. Lifts the per-chip HBM cap on qubit count /
         residual batch; any-order differentiable, so it composes with the
-        nested-AD PDE operators inside the jitted train step."""
-        from ..parallel.sharded_sv import ShardedCircuit
+        nested-AD PDE operators inside the jitted train step.
 
-        self._fused = ShardedCircuit(self.circuit, mesh, amp_axis, data_axis)
+        ``backend='gate'`` is the hand-written per-gate shard_map engine
+        (parallel/sharded_sv.py, cross-shard gates ride ICI ppermutes);
+        ``backend='block'`` is the GSPMD block-fused engine
+        (parallel/sharded_block.py, MXU einsums with XLA-inserted
+        collectives — also supports shots/noise sharded)."""
+        if backend == "block":
+            from ..parallel.sharded_block import ShardedBlockCircuit
+
+            self._fused = ShardedBlockCircuit(
+                self.circuit, mesh, amp_axis, data_axis
+            )
+        elif backend == "gate":
+            from ..parallel.sharded_sv import ShardedCircuit
+
+            self._fused = ShardedCircuit(self.circuit, mesh, amp_axis, data_axis)
+        else:
+            raise ValueError(f"unknown sharded backend {backend!r}")
         return self
 
     def init(self, key: jax.Array) -> dict:

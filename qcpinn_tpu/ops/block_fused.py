@@ -136,6 +136,11 @@ class BlockFusedCircuit:
         # practical 20q path is small batches (B=8 measured on-chip).
         self.remat = remat
         self.segments = compile_segments(circuit, self.hb)
+        # Sharding hook: the GSPMD-sharded wrapper (parallel/sharded_block.py)
+        # re-pins the [B, H, L] state's layout after every segment so XLA
+        # keeps the H axis on the mesh instead of inventing its own layout
+        # mid-chain. Identity for the single-device engine.
+        self._constrain = lambda s: s
 
     def evolve(self, params, state):
         if self.remat:
@@ -151,7 +156,7 @@ class BlockFusedCircuit:
         no_params = jnp.zeros((0,), dtype=p2.dtype)
         b = state.shape[0]
         h, l = 1 << self.hb, 1 << self.lb
-        s = state.reshape(b, h, l)
+        s = self._constrain(state.reshape(b, h, l))
         for seg in self.segments:
             lp = p2[seg.layer] if seg.layer >= 0 else no_params
             if seg.kind == "blocks":
@@ -169,6 +174,7 @@ class BlockFusedCircuit:
                     s.reshape(b, 1 << c.n), c.n, (seg.op,), lp
                 )
                 s = flat.reshape(b, h, l)
+            s = self._constrain(s)
         return s.reshape(b, 1 << c.n)
 
     def state(self, params, x):
