@@ -97,6 +97,48 @@ def test_hi_bits_must_cover_amp_axis():
         ShardedBlockCircuit(circ, mesh, hi_bits=2)
 
 
+@pytest.mark.slow
+def test_16q_streams_train_step_block_sharded_trajectory_parity():
+    """Flagship scale on the GSPMD engine: a 16-qubit cross_mesh
+    tangent-streams train step runs block-sharded on the 8-device mesh and
+    its 2-step optimizer trajectory matches single-device to float
+    tolerance (the gate-engine twin lives in test_sharded_sv.py)."""
+    from qcpinn_tpu.config import QCPINNConfig
+    from qcpinn_tpu.data import gaussian_pulse_samplers
+    from qcpinn_tpu.models import DVSolver
+    from qcpinn_tpu.physics.streams import dv_diffusion_residual_streams
+    from qcpinn_tpu.train import diffusion_terms, make_train_step
+    from qcpinn_tpu.train import optim as topt
+
+    cfg = QCPINNConfig(
+        num_qubits=16, num_quantum_layers=1, q_ansatz="cross_mesh",
+        classic_network=(3, 24, 1), batch_size=8, epochs=1, lr=1e-3,
+        seed=0, scheduler="none",
+    )
+    mesh = make_mesh(data=2, amp=4)
+    terms = diffusion_terms(gaussian_pulse_samplers(), cfg.batch_size)
+    optimizer = topt.make_optimizer(cfg.lr, grad_clip=1.0, schedule="none")
+
+    def run(model, use_mesh):
+        params = model.init(jax.random.PRNGKey(0))
+        rfn = lambda p, X: dv_diffusion_residual_streams(model, p, X)
+        _, scan_steps = make_train_step(
+            model.apply, None, terms, optimizer, cfg,
+            mesh=(mesh if use_mesh else None), residual_fn=rfn,
+        )
+        out = scan_steps(
+            params, optimizer.init(params), topt.plateau_init(),
+            jax.random.PRNGKey(1), 0, 2,
+        )
+        return jax.device_get(out[0]), float(jax.device_get(out[3]["loss"])[-1])
+
+    p_s, loss_s = run(DVSolver(cfg).use_sharded(mesh, backend="block"), True)
+    p_u, loss_u = run(DVSolver(cfg), False)
+    assert abs(loss_s - loss_u) < 1e-4 * max(abs(loss_u), 1.0)
+    for a, b in zip(jax.tree_util.tree_leaves(p_s), jax.tree_util.tree_leaves(p_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
 def test_streams_compose_with_sharded_block_backend():
     """use_sharded(backend='block') + tangent streams: values, residuals
     and reverse gradients match the unsharded path — the multi-chip MXU
