@@ -106,6 +106,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--noise-readout", type=float, default=0.0)
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--save-every", type=int, default=0)
+    c.add_argument("--data-parallel", action="store_true",
+                   help="pretrain data-parallel over all local devices "
+                        "(the node batch shards over the mesh 'data' axis; "
+                        "XLA inserts the gradient reduction)")
     c.add_argument("--quick-check", action="store_true",
                    help="2-epoch, tiny-model smoke run")
     c.add_argument("--output-dir", default="runs")
@@ -417,11 +421,19 @@ def cmd_cz(args) -> int:
             warm = load_checkpoint(args.load, template)["bundle"]["params"]
             logger.print(f"warm start from {args.load}")
 
+        mesh = None
+        if getattr(args, "data_parallel", False):
+            from .parallel import make_mesh
+
+            mesh = make_mesh()
+            logger.print(f"data-parallel over mesh {dict(mesh.shape)}")
+
         params, history = run_pretrain(
             model, X, Y, stats, cfg, logger=logger, params=warm,
             checkpoint_fn=ckpt_fn if args.save_every else None,
             save_every=args.save_every,
             time_budget_s=args.time_budget * 60.0,
+            mesh=mesh,
         )
         # len(history) = epochs actually run (a --time-budget stop may end
         # the run early; the checkpoint metadata must not claim cfg.epochs)

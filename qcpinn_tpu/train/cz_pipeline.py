@@ -131,11 +131,33 @@ def make_pretrain_epoch(
     Y: np.ndarray,
     stats: DataStats,
     cfg: CzConfig,
+    mesh=None,
 ):
-    """Build the jitted one-epoch function. State: (params, opt_state, ema)."""
+    """Build the jitted one-epoch function. State: (params, opt_state, ema).
+
+    ``mesh`` (a jax Mesh with a 'data' axis) data-parallelizes the step:
+    the node batch is pinned to ``P('data', None)`` and XLA partitions the
+    whole step — forward, residuals, grads (reduced across devices by the
+    inserted psum) — exactly like the diffusion trainer's mesh path
+    (train/loop.py). Trajectory-identical to single-device (tested)."""
     n_batches = len(X) // cfg.batch_size
     if n_batches == 0:
         raise ValueError("batch_size larger than dataset")
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if cfg.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide over the "
+                f"'data' axis of {mesh.shape['data']} devices"
+            )
+        _batch_sharding = NamedSharding(mesh, P("data", None))
+
+        def _shard_batch(t):
+            return jax.lax.with_sharding_constraint(t, _batch_sharding)
+    else:
+        def _shard_batch(t):
+            return t
     # Keep the FULL dataset on device; each epoch's permutation is over all
     # rows and the per-epoch remainder (len(X) mod batch) is dropped after
     # shuffling, so the dropped rows rotate across epochs instead of the
@@ -160,6 +182,8 @@ def make_pretrain_epoch(
     data_only = cfg.physics_weight == 0.0
 
     def batch_loss(params, xb, yb, ema, phys_w):
+        xb = _shard_batch(xb)
+        yb = _shard_batch(yb)
         pred = model.apply(params, xb)
         sq = (pred - yb) ** 2
         data_loss = jnp.mean(sq if fw is None else sq * fw)
@@ -222,6 +246,16 @@ def make_pretrain_epoch(
             Yd[perm].reshape(n_batches, cfg.batch_size, -1),
         )
 
+    # XLA:CPU's in-process collectives use a rendezvous with a hard 40 s
+    # liveness timeout; a host loop that async-dispatches tens of sharded
+    # steps floods it and the process aborts (observed at ~55 queued steps
+    # on the 8-device virtual mesh; 10 are fine). Real TPU collectives are
+    # hardware-managed and unaffected, so only CPU meshes pay the per-step
+    # sync.
+    sync_each_step = (
+        mesh is not None and next(iter(mesh.devices.flat)).platform == "cpu"
+    )
+
     def epoch_fn(params, opt_state, ema, epoch_idx, key):
         # One jitted step, batches looped on the host (dispatch is async and
         # ~1000x cheaper than a 16q step; a whole-epoch lax.scan measured 4x
@@ -237,6 +271,8 @@ def make_pretrain_epoch(
             params, opt_state, ema, (t, d, p) = step_fn(
                 params, opt_state, ema, Xs[i], Ys[i], phys_w, lr
             )
+            if sync_each_step:
+                jax.block_until_ready(t)
             totals.append(t)
             datas.append(d)
             physes.append(p)
@@ -264,6 +300,7 @@ def run_pretrain(
     checkpoint_fn=None,
     save_every: int = 0,
     time_budget_s: float = 0.0,
+    mesh=None,
 ) -> Tuple[dict, list]:
     """``time_budget_s`` > 0 stops gracefully (checkpoint saved by the
     caller as usual) once an epoch ends past the budget — unlike an
@@ -278,7 +315,9 @@ def run_pretrain(
     key = jax.random.PRNGKey(cfg.seed)
     if params is None:
         params = model.init(key)
-    optimizer, epoch_fn, n_batches = make_pretrain_epoch(model, X, Y, stats, cfg)
+    optimizer, epoch_fn, n_batches = make_pretrain_epoch(
+        model, X, Y, stats, cfg, mesh=mesh
+    )
     opt_state = optimizer.init(params)
     ema = {k: jnp.asarray(1.0) for k in ("data",) + PHYS_KEYS + ("abs_data", "abs_phys")}
 

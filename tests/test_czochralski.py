@@ -251,6 +251,40 @@ def test_pretrain_data_only_mode_skips_physics(rng):
     assert np.isfinite(last) and last < first
 
 
+def test_pretrain_data_parallel_trajectory_parity(rng):
+    """run_pretrain(mesh=...) shards the node batch over the 'data' axis
+    (XLA inserts the gradient reduction) and must reproduce the
+    single-device loss history exactly — the cz flagship's multi-chip
+    data-parallel path."""
+    from qcpinn_tpu.parallel import make_mesh
+
+    model = _small_model()
+    N = 96
+    X = rng.uniform(0.05, 1, (N, 2)).astype(np.float32)
+    Y = rng.uniform(-0.1, 0.1, (N, 5)).astype(np.float32)
+    stats = DataStats(1, 1, 1, 0, 1, 1.0)
+    # tight parity on the data-only path (losses O(0.1): any layout bug
+    # would show); the physics path is checked looser below because its
+    # O(1e6) residual sums reorder across shards in float32
+    cfg = CzConfig(
+        n_qubits=4, n_layers=1, epochs=3, batch_size=32, lr=3e-3,
+        physics_weight=0.0, physics_warmup=0, physics_ramp=1,
+        log_every=10, seed=0,
+    )
+    _, hist_single = run_pretrain(model, X, Y, stats, cfg)
+    _, hist_dp = run_pretrain(model, X, Y, stats, cfg, mesh=make_mesh())
+    np.testing.assert_allclose(hist_dp, hist_single, rtol=1e-5)
+
+    cfg_p = CzConfig(
+        n_qubits=4, n_layers=1, epochs=2, batch_size=32, lr=3e-3,
+        physics_weight=0.05, physics_warmup=0, physics_ramp=1,
+        log_every=10, seed=0,
+    )
+    _, hp_single = run_pretrain(model, X, Y, stats, cfg_p)
+    _, hp_dp = run_pretrain(model, X, Y, stats, cfg_p, mesh=make_mesh())
+    np.testing.assert_allclose(hp_dp, hp_single, rtol=1e-2)
+
+
 def test_finetune_with_noise_model(rng):
     """Noisy-simulator finetune (the reference's ibm-sim phase,
     cg-hqpinn/...16q_effective.py:183-196): NoiseModel shrinks the Cz
