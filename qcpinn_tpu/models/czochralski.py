@@ -101,6 +101,12 @@ class CzQuantumLayer:
         self.n = n_qubits
         self.layers = n_layers
         self.remat = remat
+        # GSPMD hook (Hybrid16QPINN.use_sharded): re-pins the [B, 2^n]
+        # state's amplitude dimension to the mesh after the encoding and
+        # after every reupload layer, so XLA partitions the wire-group
+        # matmuls / diagonal phases and inserts the collectives. Identity
+        # on a single device.
+        self._constrain = lambda s: s
 
     def init(self, key: jax.Array) -> Array:
         # TorchLayer default init: U(0, 2pi) over weight_shapes (L, n, 3)
@@ -162,12 +168,12 @@ class CzQuantumLayer:
         if self.remat:
             encode = jax.checkpoint(encode)
 
-        state = encode(x)
+        state = self._constrain(encode(x))
         for layer in range(self.layers):
             block = functools.partial(one_layer, layer=layer)
             if self.remat:
                 block = jax.checkpoint(block, static_argnums=())
-            state = block(state, x, weights[layer])
+            state = self._constrain(block(state, x, weights[layer]))
         if shots is None:
             return measure.exact_z(state, n, noise)
         if key is None:
@@ -253,6 +259,24 @@ class Hybrid16QPINN:
 
     def __call__(self, params, x, **kw):
         return self.apply(params, x, **kw)
+
+    def use_sharded(
+        self, mesh, amp_axis: str = "amp", data_axis: str = "data"
+    ) -> "Hybrid16QPINN":
+        """Shard the circuit's [B, 2^n] statevector over the mesh: batch on
+        ``data_axis``, the amplitude dimension (leading wire bits) on
+        ``amp_axis``. Pure GSPMD — the state is pinned to
+        ``P(data, amp)`` at the encoding and every reupload-layer boundary
+        and XLA partitions the 4-wire-group MXU matmuls and diagonal
+        phases, inserting the collectives. Lifts the 16q per-chip HBM
+        ladder (PARITY.md: B=512 needs 20.1 GB even with remat+kron
+        fusion) the multi-chip way. Composes with remat, shots/noise and
+        the pipeline's data-parallel batch sharding."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(mesh, P(data_axis, amp_axis))
+        self.q._constrain = lambda st: jax.lax.with_sharding_constraint(st, s)
+        return self
 
     @staticmethod
     def head_param_filter(params: dict) -> dict:

@@ -285,6 +285,43 @@ def test_pretrain_data_parallel_trajectory_parity(rng):
     np.testing.assert_allclose(hp_dp, hp_single, rtol=1e-2)
 
 
+def test_cz_amp_sharded_statevector_parity(rng):
+    """Hybrid16QPINN.use_sharded: the circuit's [B, 2^n] state rides a
+    ('data','amp') mesh via GSPMD constraints — forward, gradients and a
+    2-epoch pretrain trajectory must match single-device exactly (the
+    flagship's multi-chip HBM relief, PARITY.md ladder)."""
+    from qcpinn_tpu.parallel import make_mesh
+
+    N = 64
+    X = rng.uniform(0.05, 1, (N, 2)).astype(np.float32)
+    Y = rng.uniform(-0.1, 0.1, (N, 5)).astype(np.float32)
+    stats = DataStats(1, 1, 1, 0, 1, 1.0)
+    mesh = make_mesh(data=2, amp=4)
+
+    m1 = Hybrid16QPINN(n_qubits=4, n_layers=2)
+    m2 = Hybrid16QPINN(n_qubits=4, n_layers=2).use_sharded(mesh)
+    params = m1.init(jax.random.PRNGKey(0))
+    xb = jnp.asarray(X[:16])
+
+    f1 = np.asarray(jax.jit(m1.apply)(params, xb))
+    f2 = np.asarray(jax.jit(m2.apply)(params, xb))
+    np.testing.assert_allclose(f2, f1, atol=2e-6)
+
+    g1 = jax.jit(jax.grad(lambda p: jnp.sum(m1.apply(p, xb) ** 2)))(params)
+    g2 = jax.jit(jax.grad(lambda p: jnp.sum(m2.apply(p, xb) ** 2)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+    cfg = CzConfig(
+        n_qubits=4, n_layers=2, epochs=2, batch_size=32, lr=3e-3,
+        physics_weight=0.0, physics_warmup=0, physics_ramp=1,
+        log_every=10, seed=0,
+    )
+    _, h1 = run_pretrain(m1, X, Y, stats, cfg)
+    _, h2 = run_pretrain(m2, X, Y, stats, cfg, mesh=mesh)
+    np.testing.assert_allclose(h2, h1, rtol=1e-5)
+
+
 def test_finetune_with_noise_model(rng):
     """Noisy-simulator finetune (the reference's ibm-sim phase,
     cg-hqpinn/...16q_effective.py:183-196): NoiseModel shrinks the Cz
