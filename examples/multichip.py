@@ -34,8 +34,9 @@ def main() -> int:
     ap.add_argument("--ansatz", default="cross_mesh")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--steps", type=int, default=5)
-    ap.add_argument("--cpu", action="store_true",
-                    help="force the virtual CPU mesh even if a TPU is visible")
+    ap.add_argument("--tpu", action="store_true",
+                    help="use the real accelerator devices instead of the "
+                         "default virtual CPU mesh (needs >= --devices chips)")
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -46,7 +47,11 @@ def main() -> int:
 
     import jax
 
-    if args.cpu or len(jax.devices()) < args.devices:
+    # Platform selection must happen BEFORE the first jax.devices() call:
+    # backends initialize lazily and the jax_platforms update is a silent
+    # no-op afterwards (and probing a TPU plugin first can hang). Default
+    # to the virtual CPU mesh; --tpu opts into real chips.
+    if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
@@ -99,9 +104,10 @@ def main() -> int:
     l_block = run("amp-sharded (block)",
                   DVSolver(cfg).use_sharded(mesh, backend="block"), True)
 
-    drift = max(abs(float(a) - float(b))
-                for a, b in zip(l_gate, l_single)) + max(
-        abs(float(a) - float(b)) for a, b in zip(l_block, l_single))
+    drift = max(
+        max(abs(float(a) - float(b)) for a, b in zip(l_gate, l_single)),
+        max(abs(float(a) - float(b)) for a, b in zip(l_block, l_single)),
+    )
     print(f"max trajectory drift vs single-device: {drift:.2e} "
           f"(exact sharding: both engines reproduce the same training)")
     return 0

@@ -374,6 +374,12 @@ def cmd_cz(args) -> int:
             f"ignored for --phase {args.phase}"
         )
 
+    if getattr(args, "data_parallel", False) and args.phase != "pretrain":
+        logger.print(
+            f"WARNING: --data-parallel only applies to the pretrain phase; "
+            f"ignored for --phase {args.phase}"
+        )
+
     if args.phase == "eval":
         # field-wise rel-L2 + val MSE over the full node set — the flagship
         # accuracy report (PARITY.md Cz table)
@@ -427,6 +433,14 @@ def cmd_cz(args) -> int:
 
             mesh = make_mesh()
             logger.print(f"data-parallel over mesh {dict(mesh.shape)}")
+            if args.quick_check and cfg.batch_size % mesh.shape["data"]:
+                # smoke mode must stay runnable on any device count: bump
+                # the tiny forced batch to one row per data-axis device
+                cfg.batch_size = mesh.shape["data"]
+                logger.print(
+                    f"quick-check batch bumped to {cfg.batch_size} "
+                    f"(one row per device)"
+                )
 
         params, history = run_pretrain(
             model, X, Y, stats, cfg, logger=logger, params=warm,

@@ -52,7 +52,9 @@ class ShardedBlockCircuit:
 
     ``hi_bits`` must put at least ``log2(amp)`` wires in the high block so
     the H axis divides over the mesh; the default balanced split is bumped
-    up if needed.
+    up if needed. When even the bump leaves no low block (amp axis as
+    large as the state, e.g. amp=8 at n=3), the constructor raises with
+    the remedy rather than surfacing BlockFusedCircuit's range check.
     """
 
     def __init__(
@@ -71,6 +73,12 @@ class ShardedBlockCircuit:
             raise ValueError(f"amp axis size {A} must be a power of 2")
         n = circuit.n
         hb = hi_bits if hi_bits is not None else max((n + 1) // 2, a)
+        if hb >= n:
+            raise ValueError(
+                f"an amp axis of {A} devices needs at least {a} high bits, "
+                f"but a {n}-qubit state has no low block left at hi_bits="
+                f"{hb}; use fewer amp devices (or more qubits)"
+            )
         if (1 << hb) % A:
             raise ValueError(
                 f"hi_bits={hb} puts {1 << hb} rows on an amp axis of {A}"

@@ -144,14 +144,14 @@ def make_pretrain_epoch(
     if n_batches == 0:
         raise ValueError("batch_size larger than dataset")
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import batch_sharding
 
         if cfg.batch_size % mesh.shape["data"]:
             raise ValueError(
                 f"batch_size {cfg.batch_size} must divide over the "
                 f"'data' axis of {mesh.shape['data']} devices"
             )
-        _batch_sharding = NamedSharding(mesh, P("data", None))
+        _batch_sharding = batch_sharding(mesh, ndim=2)
 
         def _shard_batch(t):
             return jax.lax.with_sharding_constraint(t, _batch_sharding)

@@ -95,6 +95,10 @@ def test_hi_bits_must_cover_amp_axis():
     mesh = make_mesh(data=1, amp=8)
     with pytest.raises(ValueError, match="amp axis"):
         ShardedBlockCircuit(circ, mesh, hi_bits=2)
+    # default hi_bits path: an amp axis as large as the whole state leaves
+    # no low block — the constructor explains the remedy itself
+    with pytest.raises(ValueError, match="fewer amp devices"):
+        ShardedBlockCircuit(DVCircuit(3, 1, "cascade"), mesh)
 
 
 @pytest.mark.slow
