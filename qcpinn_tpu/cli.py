@@ -107,7 +107,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--save-every", type=int, default=0)
     c.add_argument("--data-parallel", action="store_true",
-                   help="pretrain data-parallel over all local devices "
+                   help="pretrain/eval data-parallel over all local devices "
                         "(the node batch shards over the mesh 'data' axis; "
                         "XLA inserts the gradient reduction)")
     c.add_argument("--quick-check", action="store_true",
@@ -374,10 +374,10 @@ def cmd_cz(args) -> int:
             f"ignored for --phase {args.phase}"
         )
 
-    if getattr(args, "data_parallel", False) and args.phase != "pretrain":
+    if getattr(args, "data_parallel", False) and args.phase == "finetune":
         logger.print(
-            f"WARNING: --data-parallel only applies to the pretrain phase; "
-            f"ignored for --phase {args.phase}"
+            "WARNING: --data-parallel does not apply to the finetune phase "
+            "(its calibration subset is tiny by design); ignored"
         )
 
     if args.phase == "eval":
@@ -391,8 +391,14 @@ def cmd_cz(args) -> int:
                     "opt_state": None, "sched": None}
         restored = load_checkpoint(args.load, template)
         params = restored["bundle"]["params"]
+        eval_mesh = None
+        if getattr(args, "data_parallel", False):
+            from .parallel import make_mesh
+
+            eval_mesh = make_mesh()
+            logger.print(f"data-parallel eval over mesh {dict(eval_mesh.shape)}")
         metrics, pred = evaluate_cz_fields(model.apply, params, X, Y,
-                                           return_pred=True)
+                                           return_pred=True, mesh=eval_mesh)
         for k, v in metrics.items():
             logger.print(f"{k}: {v:.6e}")
         if not args.no_plots:

@@ -72,14 +72,29 @@ CZ_FIELDS = ("u_r", "u_z", "u_theta", "p", "T")
 
 def evaluate_cz_fields(
     model_apply: Callable, params, X, Y, batch: int = 2048,
-    return_pred: bool = False,
+    return_pred: bool = False, mesh=None,
 ):
     """Field-wise relative-L2 (%) + overall val MSE on the (normalized)
     COMSOL node set — the flagship Czochralski accuracy metric. Chunked:
     at 16 qubits one forward over all 18k nodes would materialize an
     [N, 2^16] statevector (~9.5 GB); fixed-size chunks keep one compiled
-    shape and ~1 GB peak."""
-    apply_j = jax.jit(model_apply)
+    shape and ~1 GB peak.
+
+    ``mesh`` shards each chunk over the 'data' axis (cz --data-parallel
+    eval): the forward partitions across devices, ~devices× faster on a
+    pod slice."""
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+
+        sh = batch_sharding(mesh, ndim=2)
+
+        def apply_sharded(p, xb):
+            xb = jax.lax.with_sharding_constraint(xb, sh)
+            return model_apply(p, xb)
+
+        apply_j = jax.jit(apply_sharded)
+    else:
+        apply_j = jax.jit(model_apply)
     X = np.asarray(X)
     Y = np.asarray(Y)
     n = len(X)
