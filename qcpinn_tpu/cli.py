@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pretrain/eval data-parallel over all local devices "
                         "(the node batch shards over the mesh 'data' axis; "
                         "XLA inserts the gradient reduction)")
+    c.add_argument("--amp", type=int, default=1,
+                   help="amplitude-shard the circuit's 2^n statevector over "
+                        "this many devices (GSPMD; remaining devices form "
+                        "the 'data' axis) — the multi-chip road past the "
+                        "per-chip HBM ladder (PARITY.md)")
     c.add_argument("--quick-check", action="store_true",
                    help="2-epoch, tiny-model smoke run")
     c.add_argument("--output-dir", default="runs")
@@ -380,6 +385,21 @@ def cmd_cz(args) -> int:
             "(its calibration subset is tiny by design); ignored"
         )
 
+    mesh = None
+    if args.amp > 1 or getattr(args, "data_parallel", False):
+        from .parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % args.amp:
+            raise SystemExit(f"--amp {args.amp} does not divide the "
+                             f"{n_dev} available devices")
+        mesh = make_mesh(data=n_dev // args.amp, amp=args.amp)
+        logger.print(f"mesh {dict(mesh.shape)}")
+        if args.amp > 1:
+            # GSPMD statevector sharding (models/czochralski.py
+            # use_sharded): the [B, 2^n] state rides P(data, amp)
+            model.use_sharded(mesh)
+
     if args.phase == "eval":
         # field-wise rel-L2 + val MSE over the full node set — the flagship
         # accuracy report (PARITY.md Cz table)
@@ -391,14 +411,8 @@ def cmd_cz(args) -> int:
                     "opt_state": None, "sched": None}
         restored = load_checkpoint(args.load, template)
         params = restored["bundle"]["params"]
-        eval_mesh = None
-        if getattr(args, "data_parallel", False):
-            from .parallel import make_mesh
-
-            eval_mesh = make_mesh()
-            logger.print(f"data-parallel eval over mesh {dict(eval_mesh.shape)}")
         metrics, pred = evaluate_cz_fields(model.apply, params, X, Y,
-                                           return_pred=True, mesh=eval_mesh)
+                                           return_pred=True, mesh=mesh)
         for k, v in metrics.items():
             logger.print(f"{k}: {v:.6e}")
         if not args.no_plots:
@@ -433,20 +447,15 @@ def cmd_cz(args) -> int:
             warm = load_checkpoint(args.load, template)["bundle"]["params"]
             logger.print(f"warm start from {args.load}")
 
-        mesh = None
-        if getattr(args, "data_parallel", False):
-            from .parallel import make_mesh
-
-            mesh = make_mesh()
-            logger.print(f"data-parallel over mesh {dict(mesh.shape)}")
-            if args.quick_check and cfg.batch_size % mesh.shape["data"]:
-                # smoke mode must stay runnable on any device count: bump
-                # the tiny forced batch to one row per data-axis device
-                cfg.batch_size = mesh.shape["data"]
-                logger.print(
-                    f"quick-check batch bumped to {cfg.batch_size} "
-                    f"(one row per device)"
-                )
+        if (mesh is not None and args.quick_check
+                and cfg.batch_size % mesh.shape["data"]):
+            # smoke mode must stay runnable on any device count: bump
+            # the tiny forced batch to one row per data-axis device
+            cfg.batch_size = mesh.shape["data"]
+            logger.print(
+                f"quick-check batch bumped to {cfg.batch_size} "
+                f"(one row per device)"
+            )
 
         params, history = run_pretrain(
             model, X, Y, stats, cfg, logger=logger, params=warm,
