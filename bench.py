@@ -50,7 +50,11 @@ def _build(use_pallas: bool, batch: int):
     )
     model = DVFourierSolver(cfg)
     if use_pallas:
-        model.use_pallas()
+        import os
+
+        # A/B knob for on-chip backend experiments: auto (block at 12q) |
+        # block | loop | unrolled
+        model.use_pallas(backend=os.environ.get("QCPINN_BENCH_BACKEND", "auto"))
         if model._fused is None:
             raise RuntimeError("pallas unavailable")
     params = model.init(jax.random.PRNGKey(0))
