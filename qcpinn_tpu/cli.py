@@ -110,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pretrain/eval data-parallel over all local devices "
                         "(the node batch shards over the mesh 'data' axis; "
                         "XLA inserts the gradient reduction)")
+    c.add_argument("--trunk-width", type=int, default=128,
+                   help="classical trunk width (reference: 128). The "
+                        "velocity rel-L2 floor at the reference budget is "
+                        "capacity-limited (PARITY.md probe: ~10x params "
+                        "halves it); use the same width for --load/eval")
     c.add_argument("--amp", type=int, default=1,
                    help="amplitude-shard the circuit's 2^n statevector over "
                         "this many devices (GSPMD; remaining devices form "
@@ -367,7 +372,8 @@ def cmd_cz(args) -> int:
         ),
     )
     model = Hybrid16QPINN(
-        n_qubits=cfg.n_qubits, n_layers=cfg.n_layers, remat=cfg.effective_remat
+        n_qubits=cfg.n_qubits, n_layers=cfg.n_layers,
+        remat=cfg.effective_remat, width=args.trunk_width,
     )
 
     if args.phase in ("pretrain", "finetune") and not args.save:

@@ -188,6 +188,7 @@ class Hybrid16QPINN:
         n_layers: int = 2,
         ff_seed: int = 0,
         remat: bool = True,
+        width: int = 128,
     ):
         self.n = n_qubits
         # remat=True segments reverse-mode memory per reupload layer (see
@@ -195,19 +196,25 @@ class Hybrid16QPINN:
         # unremat vs a few GB remat, for ~1 extra forward of recompute
         self.q = CzQuantumLayer(n_qubits, n_layers, remat=remat)
         self.ff_seed = ff_seed
+        # width=128 is the reference's trunk (:89-94); wider trunks are a
+        # measured accuracy lever — the velocity rel-L2 floor at the
+        # reference budget is capacity-limited (PARITY.md capacity probe:
+        # ~10x params roughly halves it)
+        self.width = width
 
     def init(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 8)
         n = self.n
+        w = self.width
         return {
             "ff": nc.fourier_features_init(
                 jax.random.PRNGKey(self.ff_seed), 2, 24, 6.0
             ),
-            "coord_proj": nc.mlp_init(ks[0], (2 + 48, 128, 128)),
-            "res1": nc.mlp_init(ks[1], (128, 128, 128)),
-            "res2": nc.mlp_init(ks[2], (128, 128, 128)),
-            "to_quantum": nc.mlp_init(ks[3], (128, 64, n)),
-            "classical_skip": nc.mlp_init(ks[4], (128, 64)),
+            "coord_proj": nc.mlp_init(ks[0], (2 + 48, w, w)),
+            "res1": nc.mlp_init(ks[1], (w, w, w)),
+            "res2": nc.mlp_init(ks[2], (w, w, w)),
+            "to_quantum": nc.mlp_init(ks[3], (w, 64, n)),
+            "classical_skip": nc.mlp_init(ks[4], (w, 64)),
             "q": self.q.init(ks[5]),
             "q_norm": nc.layernorm_init(n),
             "post": nc.mlp_init(ks[6], (64 + n + 2, 128, 64, 5)),

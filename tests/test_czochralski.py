@@ -285,6 +285,28 @@ def test_pretrain_data_parallel_trajectory_parity(rng):
     np.testing.assert_allclose(hp_dp, hp_single, rtol=1e-2)
 
 
+def test_trunk_width_lever(rng):
+    """width scales the classical trunk (the measured capacity lever,
+    PARITY.md probe); the default stays reference-exact and any width
+    still produces the 5-field output with hard axis constraints."""
+    wide = Hybrid16QPINN(n_qubits=4, n_layers=1, width=256)
+    slim = Hybrid16QPINN(n_qubits=4, n_layers=1, width=64)
+    from qcpinn_tpu.models.nn_core import count_trainable
+
+    pw = wide.init(jax.random.PRNGKey(0))
+    ps = slim.init(jax.random.PRNGKey(0))
+    assert count_trainable(pw) > 2 * count_trainable(ps)
+    x = jnp.asarray(rng.uniform(0.05, 1, (6, 2)).astype(np.float32))
+    for m, p in ((wide, pw), (slim, ps)):
+        out = np.asarray(jax.jit(m.apply)(p, x))
+        assert out.shape == (6, 5) and np.isfinite(out).all()
+        # hard constraint: u_r, u_theta ∝ r
+        x0 = x.at[:, 0].set(0.0)
+        out0 = np.asarray(jax.jit(m.apply)(p, x0))
+        np.testing.assert_allclose(out0[:, 0], 0.0, atol=1e-7)
+        np.testing.assert_allclose(out0[:, 2], 0.0, atol=1e-7)
+
+
 def test_cz_amp_sharded_statevector_parity(rng):
     """Hybrid16QPINN.use_sharded: the circuit's [B, 2^n] state rides a
     ('data','amp') mesh via GSPMD constraints — forward, gradients and a
