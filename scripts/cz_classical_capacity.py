@@ -30,6 +30,10 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=2,
                     help="number of residual blocks")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--physics-weight", type=float, default=0.0,
+                    help="> 0 trains through the real pipeline "
+                         "(run_pretrain, balanced normalization, cylindrical "
+                         "residuals) instead of plain supervised MSE")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -77,6 +81,34 @@ def main() -> int:
     params = init(jax.random.PRNGKey(args.seed))
     print(f"classical capacity model: {nc.count_trainable(params)} trainable params "
           f"(flagship QCPINN: 125,973)")
+
+    if args.physics_weight > 0:
+        # physics-constrained variant: run the actual flagship pipeline
+        # (balanced EMA weighting, cosine lr, cylindrical NS/energy
+        # residuals) on the classical net — apply() is the only surface
+        # run_pretrain needs
+        from types import SimpleNamespace
+
+        from qcpinn_tpu.train.cz_pipeline import CzConfig, run_pretrain
+
+        cfg = CzConfig(
+            n_qubits=4, n_layers=1, epochs=args.epochs,
+            batch_size=args.batch_size, lr=args.lr,
+            physics_weight=args.physics_weight, physics_warmup=25,
+            physics_ramp=60, physics_normalize="balanced", log_every=25,
+            seed=args.seed,
+        )
+        model = SimpleNamespace(apply=apply)
+        params, _ = run_pretrain(model, X, Y, stats, cfg, params=params)
+        metrics = evaluate_cz_fields(apply, params, X, Y)
+        metrics["params"] = nc.count_trainable(params)
+        metrics["epochs"] = args.epochs
+        metrics["physics_weight"] = args.physics_weight
+        print(json.dumps(metrics))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(metrics, f, indent=1)
+        return 0
     optimizer = optax.chain(
         optax.clip_by_global_norm(1.0), optax.scale_by_adam(), optax.scale(-1.0)
     )
