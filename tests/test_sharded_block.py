@@ -169,3 +169,20 @@ def test_streams_compose_with_sharded_block_backend():
     g2 = jax.jit(jax.grad(lambda pp: jnp.sum(dv_diffusion_residual_streams(m2, pp, X)[1] ** 2)))(p)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_20q_forward_parity_amp8():
+    """Past-the-HBM-ladder scale: a 20-qubit cross_mesh forward (1M
+    amplitudes/sample) amp-sharded over all 8 devices matches the
+    single-device block engine — the qubit count the reference's own docs
+    call "problematic past ~20" (report_hybrid_CFD.md:9) runs sharded
+    with XLA-inserted collectives."""
+    from qcpinn_tpu.ops.block_fused import BlockFusedCircuit
+
+    circ, sb, params, x, _ = _pair(
+        20, "cross_mesh", 1, data=1, amp=8, seed=7, batch=2
+    )
+    ref = np.asarray(jax.jit(BlockFusedCircuit(circ).apply)(params, x))
+    got = np.asarray(jax.jit(sb.apply)(params, x))
+    np.testing.assert_allclose(got, ref, atol=5e-5)
