@@ -81,3 +81,27 @@ def test_cz_cli_guards(tmp_path):
         main(base + ["--phase", "eval"])
     with pytest.raises(SystemExit, match="requires --load"):
         main(base + ["--phase", "finetune", "--save", str(tmp_path / "x")])
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(CZ_PATH), reason="COMSOL fixture absent")
+def test_cz_cli_amp_sharded_pretrain_and_eval(tmp_path, capsys):
+    """--amp/--data-parallel through the argv surface: a ('data','amp')
+    mesh is built, the circuit state amp-shards (GSPMD) and eval runs
+    data-parallel — the CLI face of Hybrid16QPINN.use_sharded."""
+    ck = str(tmp_path / "ck")
+    base = [
+        "cz", "--data", CZ_PATH, "--n-qubits", "3", "--n-layers", "1",
+        "--batch-size", "64", "--physics-warmup", "0", "--physics-ramp", "1",
+        "--log-every", "5", "--output-dir", str(tmp_path / "runs"),
+        "--amp", "2", "--data-parallel", "--no-plots",
+    ]
+    rc = main(base + ["--phase", "pretrain", "--epochs", "2", "--save", ck])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'amp': 2" in out and "'data': 4" in out
+    rc = main(base + ["--phase", "eval", "--load", ck])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    metrics = json.loads(lines[-1])
+    assert np.isfinite(list(metrics.values())).all()
