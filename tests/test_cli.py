@@ -105,3 +105,30 @@ def test_cz_cli_amp_sharded_pretrain_and_eval(tmp_path, capsys):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     metrics = json.loads(lines[-1])
     assert np.isfinite(list(metrics.values())).all()
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(CZ_PATH), reason="COMSOL fixture absent")
+def test_cz_cli_amp_sharded_full_scope_finetune(tmp_path, capsys):
+    """--amp with the finetune phase: the amp-sharded (GSPMD) circuit
+    composes with the full-scope parameter-shift estimator — every shifted
+    evaluation runs on the sharded state. Guards the use_sharded +
+    make_hw_apply_cz interaction, which no other test crosses."""
+    ck = str(tmp_path / "ck")
+    ck_ft = str(tmp_path / "ck_ft")
+    base = [
+        "cz", "--data", CZ_PATH, "--n-qubits", "3", "--n-layers", "1",
+        "--batch-size", "64", "--physics-warmup", "0", "--physics-ramp", "1",
+        "--log-every", "5", "--output-dir", str(tmp_path / "runs"),
+        "--no-plots",
+    ]
+    rc = main(base + ["--phase", "pretrain", "--epochs", "2", "--save", ck])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(base + ["--amp", "2", "--phase", "finetune", "--epochs", "2",
+                      "--load", ck, "--save", ck_ft, "--shots", "128",
+                      "--calib-size", "4", "--train-scope", "full"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "'amp': 2" in out and "scope=full" in out
+    assert os.path.exists(ck_ft + ".npz")
