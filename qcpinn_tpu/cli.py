@@ -342,7 +342,36 @@ def cmd_cz(args) -> int:
         args.batch_size = 4
         logger.print("quick-check mode: 2 epochs, tiny circuit")
 
-    X, Y, stats = load_cz_data(args.data)
+    # The checkpoint's stats/config are the load-bearing handoff artifact
+    # (CG_HQPINN_IBMtest_16qubits.py:560-562): for eval/finetune, restore
+    # them BEFORE loading data so the nondimensionalization matches the
+    # space the model was trained in, and fail loudly on an architecture
+    # mismatch instead of a shape error deep inside the forward pass.
+    ckpt_stats = None
+    if args.load:
+        import json as _json
+        import os as _os
+
+        if args.phase in ("eval", "finetune"):
+            sidecar = args.load + ".stats.json"
+            if _os.path.exists(sidecar):
+                with open(sidecar) as f:
+                    ckpt_stats = DataStats.from_dict(_json.load(f))
+        manifest_path = args.load + ".json"
+        if _os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                ckpt_config = _json.load(f).get("config") or {}
+            saved_width = ckpt_config.get("trunk_width")
+            if saved_width is not None and int(saved_width) != args.trunk_width:
+                raise SystemExit(
+                    f"checkpoint {args.load} was trained with --trunk-width "
+                    f"{saved_width}; rerun with --trunk-width {saved_width} "
+                    f"(got {args.trunk_width})"
+                )
+
+    X, Y, stats = load_cz_data(args.data, stats=ckpt_stats)
+    if ckpt_stats is not None:
+        logger.print("data normalized with the checkpoint's stats sidecar")
     logger.print(f"loaded {X.shape[0]} nodes; stats: {stats.to_json()}")
 
     cfg = CzConfig(
@@ -375,6 +404,12 @@ def cmd_cz(args) -> int:
         n_qubits=cfg.n_qubits, n_layers=cfg.n_layers,
         remat=cfg.effective_remat, width=args.trunk_width,
     )
+
+    def ckpt_template():
+        # cz bundles store params only — a resume gets a fresh optimizer,
+        # matching the reference (CG_HQPINN_IBMtest_16qubits.py:443-455)
+        return {"params": model.init(jax.random.PRNGKey(0)),
+                "opt_state": None, "sched": None}
 
     if args.phase in ("pretrain", "finetune") and not args.save:
         raise SystemExit(f"{args.phase} phase requires --save")
@@ -413,9 +448,7 @@ def cmd_cz(args) -> int:
 
         if not args.load:
             raise SystemExit("eval phase requires --load with a checkpoint")
-        template = {"params": model.init(jax.random.PRNGKey(0)),
-                    "opt_state": None, "sched": None}
-        restored = load_checkpoint(args.load, template)
+        restored = load_checkpoint(args.load, ckpt_template())
         params = restored["bundle"]["params"]
         metrics, pred = evaluate_cz_fields(model.apply, params, X, Y,
                                            return_pred=True, mesh=mesh)
@@ -448,9 +481,7 @@ def cmd_cz(args) -> int:
             # params (fresh optimizer/schedule — opt state is not part of
             # the cz checkpoint format, matching the reference's
             # save_checkpoint at CG_HQPINN_IBMtest_16qubits.py:443-455)
-            template = {"params": model.init(jax.random.PRNGKey(0)),
-                        "opt_state": None, "sched": None}
-            warm = load_checkpoint(args.load, template)["bundle"]["params"]
+            warm = load_checkpoint(args.load, ckpt_template())["bundle"]["params"]
             logger.print(f"warm start from {args.load}")
 
         if (mesh is not None and args.quick_check
@@ -480,12 +511,19 @@ def cmd_cz(args) -> int:
     else:
         if not args.load:
             raise SystemExit("finetune phase requires --load with the pretrain checkpoint")
-        template = {"params": model.init(jax.random.PRNGKey(0)), "opt_state": None, "sched": None}
-        restored = load_checkpoint(args.load, template)
+        restored = load_checkpoint(args.load, ckpt_template())
         params = restored["bundle"]["params"]
-        if restored["stats"]:
+        if restored["stats"] and ckpt_stats is None:
+            # no .stats.json sidecar was found earlier, but the manifest
+            # carries stats: adopt them for the physics residuals (the
+            # data arrays above were normalized with file-derived stats —
+            # warn, since those spaces may differ)
             stats = DataStats.from_dict(restored["stats"])
-            logger.print("normalization stats restored from checkpoint")
+            logger.print(
+                "WARNING: checkpoint has stats in its manifest but no "
+                ".stats.json sidecar; data was normalized from --data "
+                "while residuals use the checkpoint stats"
+            )
         # pre-finetune diagnostic suite (cg-hqpinn/...:515-587)
         if not args.no_plots:
             from .data.cz_loader import choose_calibration_subset

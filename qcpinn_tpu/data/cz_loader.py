@@ -127,9 +127,18 @@ def read_table(file_path: str) -> np.ndarray:
     return np.asarray([r for r in rows_py if len(r) == width], dtype=np.float64)
 
 
-def load_cz_data(file_path: str) -> Tuple[np.ndarray, np.ndarray, DataStats]:
+def load_cz_data(
+    file_path: str, stats: "DataStats | None" = None
+) -> Tuple[np.ndarray, np.ndarray, DataStats]:
     """Returns (X [N,2] = (r,z), Y [N,5] = (u_r, u_z, u_theta, p, T),
-    stats) — all nondimensionalized, float32."""
+    stats) — all nondimensionalized, float32.
+
+    When ``stats`` is given (the checkpoint's saved DataStats), normalize
+    with those scales instead of recomputing from the file, so a model
+    trained on one export evaluates/finetunes in its own normalized space
+    — the reference restores stats the same way for its IBM stage
+    (CG_HQPINN_IBMtest_16qubits.py:560-562).
+    """
     data = read_table(file_path)
 
     if data.shape[1] >= 9:
@@ -145,15 +154,24 @@ def load_cz_data(file_path: str) -> Tuple[np.ndarray, np.ndarray, DataStats]:
     u, w, vtheta = frame[:, 2], frame[:, 3], frame[:, 4]
     p, T = frame[:, 5], frame[:, 6]
 
-    length_scale = float(max(np.abs(r).max(), np.abs(z).max(), 1e-12))
-    velocity_scale = float(
-        max(np.abs(u).max(), np.abs(w).max(), np.abs(vtheta).max(), 1e-12)
-    )
-    pressure_scale = float(max(np.abs(p).max(), 1e-12))
-    temp_min = float(T.min())
-    temp_max = float(T.max())
-    temp_scale = max(temp_max - temp_min, 1e-12)
-    pressure_coeff = pressure_scale / max(velocity_scale**2, 1e-12)
+    if stats is not None:
+        length_scale = stats.length_scale
+        velocity_scale = stats.velocity_scale
+        pressure_scale = stats.pressure_scale
+        temp_min = stats.temp_min
+        temp_max = stats.temp_max
+        temp_scale = stats.temp_scale
+        pressure_coeff = stats.pressure_coeff
+    else:
+        length_scale = float(max(np.abs(r).max(), np.abs(z).max(), 1e-12))
+        velocity_scale = float(
+            max(np.abs(u).max(), np.abs(w).max(), np.abs(vtheta).max(), 1e-12)
+        )
+        pressure_scale = float(max(np.abs(p).max(), 1e-12))
+        temp_min = float(T.min())
+        temp_max = float(T.max())
+        temp_scale = max(temp_max - temp_min, 1e-12)
+        pressure_coeff = pressure_scale / max(velocity_scale**2, 1e-12)
 
     X = np.stack([r / length_scale, z / length_scale], axis=1).astype(np.float32)
     Y = np.stack(

@@ -118,6 +118,13 @@ class CzConfig:
         w = jnp.asarray(self.field_weights, jnp.float32)
         if w.ndim != 1 or w.size != 5:
             raise ValueError("field_weights must be 5 values (u_r,u_z,u_theta,p,T)")
+        if any(v < 0 for v in self.field_weights) or sum(self.field_weights) <= 0:
+            # a zero sum would divide to inf/NaN; a negative weight flips
+            # that field's loss into a reward — both are config errors
+            raise ValueError(
+                "field_weights must be non-negative with a positive sum, "
+                f"got {self.field_weights}"
+            )
         return w * (w.size / jnp.sum(w))
 
 

@@ -100,7 +100,11 @@ def make_train_step(
     ``config.gradient_mode == "spsa"`` switches the update from
     value_and_grad to a 2-evaluation SPSA estimate of the full weighted
     loss (train/spsa.py) — composes with any loss, including shot-sampled
-    value terms.
+    value terms. In this mode the optax chain (grad clipping, decay) does
+    not apply — SPSA's raw a_k/k^alpha gain replaces it, matching the
+    reference's split of SPSA-for-quantum vs Adam-for-classical
+    (cg-hqpinn/...16q_effective.py:484-512) — but the plateau scheduler
+    still modulates the gain via ``lr_scale``.
     """
     names = tuple(terms.keys())
     use_plateau = config.scheduler == "plateau"
@@ -156,6 +160,11 @@ def make_train_step(
                 k_spsa,
                 spsa_cfg,
                 has_aux=True,
+                # the plateau scale modulates SPSA's gain a_k so the
+                # scheduler (and the logged lr_scale) stays in effect in
+                # this mode too; the optax chain (clipping/decay) does not
+                # apply to SPSA's zeroth-order updates — see docstring
+                lr_scale=sched.scale if use_plateau else 1.0,
             )
         else:
             (loss, per_term), grads = jax.value_and_grad(loss_fn, has_aux=True)(

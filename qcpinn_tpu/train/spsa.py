@@ -47,6 +47,7 @@ def spsa_step(
     key: jax.Array,
     cfg: SPSAConfig = SPSAConfig(),
     has_aux: bool = False,
+    lr_scale: "jnp.ndarray | float" = 1.0,
 ) -> Tuple:
     """One SPSA update on a params pytree. ``loss_fn(params, key) -> scalar``
     (the key lets shot-sampled losses stay reproducible). ``k`` is the
@@ -60,7 +61,9 @@ def spsa_step(
     the ±c_k average matches the unperturbed value to O(c_k²)).
     """
     kf = k.astype(jnp.float32)
-    ak = cfg.a / (kf**cfg.alpha)
+    # lr_scale lets an outer scheduler (e.g. plateau) modulate the gain on
+    # top of the decaying a_k — same role scale_updates plays for Adam
+    ak = lr_scale * cfg.a / (kf**cfg.alpha)
     ck = cfg.c / (kf**cfg.gamma)
 
     k_delta, k_plus, k_minus = jax.random.split(key, 3)

@@ -234,7 +234,7 @@ def plot_cz_diagnostics(
     lines = ["block                    mean        std      |w|max   frac|w|<1e-6"]
     for k in sorted(params.keys()):
         leaves = [np.asarray(a).ravel()
-                  for a in __import__("jax").tree_util.tree_leaves(params[k])]
+                  for a in jax.tree_util.tree_leaves(params[k])]
         if not leaves:
             continue
         w = np.concatenate(leaves)

@@ -60,8 +60,11 @@ def test_cz_cli_three_phase_roundtrip(tmp_path, capsys):
     capsys.readouterr()
     rc = main(base + ["--phase", "eval", "--load", ck_ft])
     assert rc == 0
+    out_text = capsys.readouterr().out
+    # eval normalizes the data in the checkpoint's stats space
+    assert "checkpoint's stats sidecar" in out_text
     # eval prints a final machine-readable JSON metrics line
-    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    lines = [l for l in out_text.splitlines() if l.startswith("{")]
     metrics = json.loads(lines[-1])
     assert set(metrics) >= {"val_mse", "rel_l2_T_percent"}
     assert np.isfinite(list(metrics.values())).all()
@@ -81,6 +84,22 @@ def test_cz_cli_guards(tmp_path):
         main(base + ["--phase", "eval"])
     with pytest.raises(SystemExit, match="requires --load"):
         main(base + ["--phase", "finetune", "--save", str(tmp_path / "x")])
+
+
+@pytest.mark.skipif(not os.path.exists(CZ_PATH), reason="COMSOL fixture absent")
+def test_cz_cli_trunk_width_mismatch_fails_loudly(tmp_path):
+    """A checkpoint trained at one --trunk-width must be rejected with a
+    clear message when loaded at another (leaf COUNT matches for any
+    width, so without this guard the run dies in a deep shape error)."""
+    ck = str(tmp_path / "wide")
+    with open(ck + ".json", "w") as f:
+        json.dump({"num_leaves": 28, "config": {"trunk_width": 384}}, f)
+    base = ["cz", "--data", CZ_PATH, "--output-dir", str(tmp_path / "runs")]
+    with pytest.raises(SystemExit, match="--trunk-width 384"):
+        main(base + ["--phase", "eval", "--load", ck])  # default width 128
+    with pytest.raises(SystemExit, match="--trunk-width 384"):
+        main(base + ["--phase", "pretrain", "--epochs", "1", "--load", ck,
+                     "--save", str(tmp_path / "x")])
 
 
 @pytest.mark.slow

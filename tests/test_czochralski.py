@@ -37,6 +37,32 @@ def test_load_cz_data_shapes_and_normalization():
     )
 
 
+@pytest.mark.skipif(not os.path.exists(CZ_PATH), reason="COMSOL file absent")
+def test_load_cz_data_with_checkpoint_stats():
+    """Passing a saved DataStats normalizes with THOSE scales (the
+    checkpoint handoff semantic, CG_HQPINN_IBMtest_16qubits.py:560-562)
+    instead of recomputing from the file."""
+    X0, Y0, stats0 = load_cz_data(CZ_PATH)
+    doubled = DataStats.from_dict(
+        {**stats0.to_dict(), "velocity_scale": 2.0 * stats0.velocity_scale}
+    )
+    X1, Y1, stats1 = load_cz_data(CZ_PATH, stats=doubled)
+    # coords and non-velocity fields unchanged; velocities exactly halved
+    np.testing.assert_allclose(X1, X0, rtol=1e-6)
+    np.testing.assert_allclose(Y1[:, :3], Y0[:, :3] / 2.0, rtol=1e-5)
+    np.testing.assert_allclose(Y1[:, 3:], Y0[:, 3:], rtol=1e-6)
+    assert stats1.velocity_scale == doubled.velocity_scale
+
+
+def test_field_weights_reject_nonpositive():
+    """Zero-sum weights would divide to inf; a negative weight flips the
+    field's loss into a reward — both rejected at config time."""
+    with pytest.raises(ValueError, match="non-negative"):
+        CzConfig(field_weights=(1.0, 1.0, -2.0, 0.0, 0.0)).norm_field_weights()
+    with pytest.raises(ValueError, match="positive sum"):
+        CzConfig(field_weights=(0.0,) * 5).norm_field_weights()
+
+
 def test_calibration_subset_coverage():
     X = np.random.default_rng(0).uniform(0, 1, (100, 2)).astype(np.float32)
     Y = np.zeros((100, 5), np.float32)

@@ -146,6 +146,24 @@ def test_spsa_minimizes_quadratic():
     np.testing.assert_allclose(np.asarray(params["w"]), np.asarray(target), atol=0.1)
 
 
+def test_spsa_lr_scale_modulates_gain():
+    """lr_scale is the plateau scheduler's hook into SPSA (train/loop.py):
+    scale 0 freezes the params; scale 1 reproduces the plain update."""
+    from qcpinn_tpu.train.spsa import spsa_step
+
+    def loss(p, key):
+        del key
+        return jnp.sum(p["w"] ** 2)
+
+    params = {"w": jnp.ones(3)}
+    k = jnp.asarray(1.0)
+    key = jax.random.PRNGKey(7)
+    frozen, _ = spsa_step(loss, params, k, key, SPSAConfig(), lr_scale=0.0)
+    np.testing.assert_allclose(np.asarray(frozen["w"]), 1.0)
+    moved, _ = spsa_step(loss, params, k, key, SPSAConfig(), lr_scale=1.0)
+    assert not np.allclose(np.asarray(moved["w"]), 1.0)
+
+
 def test_noise_model_shrinks_expectations(rng):
     circ = DVCircuit(2, 1, "cascade")
     params = circ.init_params(jax.random.PRNGKey(0))
