@@ -109,6 +109,11 @@ def main() -> int:
             with open(args.out, "w") as f:
                 json.dump(metrics, f, indent=1)
         return 0
+    # Plain-supervised branch. run_pretrain(physics_weight=0) now offers an
+    # equivalent data-only mode; this loop is kept as-is because the
+    # recorded capacity artifacts (artifacts/cz_*_capacity_*.json) were
+    # produced by exactly this recipe — do not let the two drift: any
+    # behavioral change belongs in cz_pipeline, with this probe rerun.
     optimizer = optax.chain(
         optax.clip_by_global_norm(1.0), optax.scale_by_adam(), optax.scale(-1.0)
     )
