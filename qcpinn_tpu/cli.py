@@ -47,11 +47,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "or spsa (backprop trains analytic, as the "
                         "reference's AER mode)")
     t.add_argument("--gradient-mode", default="backprop",
-                   choices=["backprop", "parameter-shift", "spsa"],
+                   choices=["backprop", "parameter-shift", "spsa",
+                            "spsa-split"],
                    help="quantum gradient path (readme.md:166-171): "
                         "backprop = analytic simulator; parameter-shift = "
                         "shot-sampled shifted evaluations on value terms; "
-                        "spsa = 2-eval zeroth-order updates")
+                        "spsa = 2-eval zeroth-order updates on the FULL "
+                        "pytree; spsa-split = SPSA on the quantum weights "
+                        "+ Adam on the classical partition (the "
+                        "reference's hardware recipe, "
+                        "cg-hqpinn/...:727-748)")
     t.add_argument("--noise-depolarizing", type=float, default=0.0)
     t.add_argument("--noise-readout", type=float, default=0.0)
     t.add_argument("--output-dir", default="runs")

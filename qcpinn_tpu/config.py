@@ -48,7 +48,7 @@ class QCPINNConfig:
     shots: Optional[int] = None
     noise_depolarizing: float = 0.0
     noise_readout: float = 0.0
-    gradient_mode: str = "backprop"  # backprop | parameter-shift | spsa
+    gradient_mode: str = "backprop"  # backprop | parameter-shift | spsa | spsa-split
 
     # bookkeeping
     run_name: Optional[str] = None
@@ -61,7 +61,9 @@ class QCPINNConfig:
             raise ValueError(f"unknown solver {self.solver!r}")
         if self.encoding not in ("angle", "amplitude"):
             raise ValueError(f"unknown encoding {self.encoding!r}")
-        if self.gradient_mode not in ("backprop", "parameter-shift", "spsa"):
+        if self.gradient_mode not in (
+            "backprop", "parameter-shift", "spsa", "spsa-split"
+        ):
             raise ValueError(f"unknown gradient_mode {self.gradient_mode!r}")
 
     @property

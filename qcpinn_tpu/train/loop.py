@@ -80,6 +80,7 @@ def make_train_step(
     data_axis: str = "data",
     residual_fn: Optional[Callable] = None,
     shots_apply: Optional[Callable] = None,
+    quantum_keys: Tuple[str, ...] = ("q",),
 ):
     """Build (init_state, step_fn, scan_fn).
 
@@ -99,18 +100,24 @@ def make_train_step(
 
     ``config.gradient_mode == "spsa"`` switches the update from
     value_and_grad to a 2-evaluation SPSA estimate of the full weighted
-    loss (train/spsa.py) — composes with any loss, including shot-sampled
-    value terms. In this mode the optax chain (grad clipping, decay) does
-    not apply — SPSA's raw a_k/k^alpha gain replaces it, matching the
-    reference's split of SPSA-for-quantum vs Adam-for-classical
-    (cg-hqpinn/...16q_effective.py:484-512) — but the plateau scheduler
-    still modulates the gain via ``lr_scale``.
+    loss (train/spsa.py), applied to the ENTIRE params pytree — classical
+    trunk included. That is a deliberately simple zeroth-order mode
+    (composes with any loss, including shot-sampled value terms); the
+    reference's actual hardware recipe is the SPLIT update, available as
+    ``gradient_mode == "spsa-split"``: SPSA perturbs only the quantum
+    leaves (top-level key(s) ``quantum_keys``) while the classical leaves
+    get ordinary Adam steps from a backprop gradient with the quantum
+    block frozen (cg-hqpinn/...16q_effective.py:484-512, :727-748). In
+    both SPSA modes the plateau scheduler modulates the gains via
+    ``lr_scale``; in full-tree 'spsa' the optax chain (clipping, decay)
+    does not apply, in 'spsa-split' it applies to the classical partition.
     """
     names = tuple(terms.keys())
     use_plateau = config.scheduler == "plateau"
     use_spsa = config.gradient_mode == "spsa"
-    if use_spsa:
-        from .spsa import SPSAConfig, spsa_step
+    use_spsa_split = config.gradient_mode == "spsa-split"
+    if use_spsa or use_spsa_split:
+        from .spsa import SPSAConfig, spsa_split_step, spsa_step
 
         spsa_cfg = SPSAConfig(a=config.lr)
 
@@ -164,6 +171,19 @@ def make_train_step(
                 # scheduler (and the logged lr_scale) stays in effect in
                 # this mode too; the optax chain (clipping/decay) does not
                 # apply to SPSA's zeroth-order updates — see docstring
+                lr_scale=sched.scale if use_plateau else 1.0,
+            )
+        elif use_spsa_split:
+            params, opt_state, loss, per_term = spsa_split_step(
+                lambda p, kk: loss_fn(p, batches, kk),
+                params,
+                step_id.astype(jnp.float32) + 1.0,
+                k_spsa,
+                spsa_cfg,
+                optimizer,
+                opt_state,
+                quantum_keys=quantum_keys,
+                has_aux=True,
                 lr_scale=sched.scale if use_plateau else 1.0,
             )
         else:
@@ -247,7 +267,22 @@ def train(
         epochs=config.epochs,
         weight_decay=config.effective_weight_decay,
     )
-    opt_state = optimizer.init(params)
+    quantum_keys = tuple(getattr(model, "quantum_param_keys", ("q",)))
+    if config.gradient_mode == "spsa-split":
+        # the optax chain covers only the classical partition — SPSA owns
+        # the quantum leaves (cg-hqpinn/...16q_effective.py:700-748)
+        from .spsa import split_params
+
+        q_part, c_part = split_params(params, quantum_keys)
+        if not q_part:
+            raise ValueError(
+                "gradient_mode='spsa-split' needs quantum parameters "
+                f"(top-level key(s) {quantum_keys}); the "
+                f"{config.solver} solver has none — use 'backprop' or 'spsa'"
+            )
+        opt_state = optimizer.init(c_part)
+    else:
+        opt_state = optimizer.init(params)
     sched = optim.plateau_init()
     start_step = 0
     if resume is not None:
@@ -286,7 +321,7 @@ def train(
             "residual terms use the exact simulator (hardware stages are "
             "data/boundary-only, as in the reference)"
         )
-    elif config.gradient_mode == "spsa":
+    elif config.gradient_mode in ("spsa", "spsa-split"):
         if config.shots is not None:
             if config.solver == "DV":
                 shots_apply = lambda p, X, k: model.apply(
@@ -295,7 +330,15 @@ def train(
             else:
                 log("shots apply only to the DV solver's measurements; "
                     "SPSA runs on the analytic forward")
-        log(f"SPSA updates (a={config.lr}); shots={config.shots}")
+        if config.gradient_mode == "spsa-split":
+            log(
+                f"split updates: SPSA (a={config.lr}) on quantum leaves "
+                f"{quantum_keys}, Adam on the classical partition "
+                f"(the reference's hardware recipe); shots={config.shots}"
+            )
+        else:
+            log(f"SPSA updates on the FULL pytree (a={config.lr}); "
+                f"shots={config.shots}")
     elif config.shots is not None:
         log(
             f"shots={config.shots} ignored: backprop mode trains on analytic "
@@ -306,7 +349,7 @@ def train(
 
     _, scan_steps = make_train_step(
         model.apply, operator, terms, optimizer, config, mesh=mesh,
-        shots_apply=shots_apply,
+        shots_apply=shots_apply, quantum_keys=quantum_keys,
     )
 
     loss_history = []

@@ -92,6 +92,96 @@ def spsa_step(
     return new_params, mean_loss
 
 
+def split_params(params: dict, quantum_keys=("q",)) -> Tuple[dict, dict]:
+    """Partition a top-level params dict into (quantum, classical) parts.
+
+    Models in this framework keep their quantum weights under a top-level
+    key (DVSolver/Hybrid16QPINN/CrystalPINN: ``"q"``) — the same structural
+    boundary the reference draws when it hands ``[model.q_layer.weights]``
+    to SPSA and everything else to Adam
+    (cg-hqpinn/CG_HQPINN_IBMtest_16q_effective.py:700-748)."""
+    q = {k: v for k, v in params.items() if k in quantum_keys}
+    c = {k: v for k, v in params.items() if k not in quantum_keys}
+    return q, c
+
+
+def spsa_split_step(
+    loss_fn: Callable,
+    params: dict,
+    k: jnp.ndarray,
+    key: jax.Array,
+    cfg: SPSAConfig,
+    optimizer,
+    opt_state,
+    quantum_keys=("q",),
+    has_aux: bool = False,
+    lr_scale: "jnp.ndarray | float" = 1.0,
+) -> Tuple:
+    """The reference's split update (cg-hqpinn/...16q_effective.py:727-748):
+    quantum weights move by SPSA (2 zeroth-order loss evaluations, both
+    perturbing ONLY the quantum leaves), while the classical weights get a
+    first-order optax (Adam) step from a backprop gradient taken at the
+    unperturbed point with the quantum leaves held fixed — the reference's
+    third evaluation, ``loss.backward()`` through the classical modules
+    while the hardware quantum output carries no grad_fn.
+
+    Cost: 3 loss evaluations per step (2 SPSA + 1 value_and_grad), exactly
+    the reference's epoch-inner structure. Per-term metrics (``has_aux``)
+    ride the unperturbed evaluation. Returns
+    ``(new_params, new_opt_state, loss[, aux])``. ``optimizer`` must have
+    been ``init``-ed on the classical partition only.
+    """
+    kf = k.astype(jnp.float32)
+    ak = lr_scale * cfg.a / (kf**cfg.alpha)
+    ck = cfg.c / (kf**cfg.gamma)
+
+    k_delta, k_plus, k_minus, k_grad = jax.random.split(key, 4)
+    q_params, c_params = split_params(params, quantum_keys)
+    delta = _rademacher_like(k_delta, q_params)
+
+    def merged(q, c):
+        out = dict(c)
+        out.update(q)
+        return out
+
+    def eval_loss(p, kk):
+        out = loss_fn(p, kk)
+        return out[0] if has_aux else out
+
+    plus = jax.tree_util.tree_map(lambda p, d: p + ck * d, q_params, delta)
+    minus = jax.tree_util.tree_map(lambda p, d: p - ck * d, q_params, delta)
+    loss_plus = eval_loss(merged(plus, c_params), k_plus)
+    loss_minus = eval_loss(merged(minus, c_params), k_minus)
+    ghat = (loss_plus - loss_minus) / (2.0 * ck)
+    new_q = jax.tree_util.tree_map(
+        lambda p, d: p - ak * ghat * d, q_params, delta
+    )
+
+    # classical backprop step at the unperturbed point; stop_gradient on the
+    # quantum leaves so this is d(loss)/d(classical) with quantum frozen —
+    # on shot-sampled forwards the measurement is already non-differentiable,
+    # reproducing the reference's hardware behaviour (gradients reach the
+    # post-quantum head, not through the circuit)
+    def c_loss(c):
+        frozen_q = jax.tree_util.tree_map(jax.lax.stop_gradient, q_params)
+        return loss_fn(merged(frozen_q, c), k_grad)
+
+    if has_aux:
+        (loss0, aux), c_grads = jax.value_and_grad(c_loss, has_aux=True)(c_params)
+    else:
+        loss0, c_grads = jax.value_and_grad(c_loss)(c_params)
+    updates, opt_state = optimizer.update(c_grads, opt_state, c_params)
+    updates = jax.tree_util.tree_map(lambda u: lr_scale * u, updates)
+    import optax as _optax
+
+    new_c = _optax.apply_updates(c_params, updates)
+
+    new_params = merged(new_q, new_c)
+    if has_aux:
+        return new_params, opt_state, loss0, aux
+    return new_params, opt_state, loss0
+
+
 def make_spsa_trainer(loss_fn: Callable, cfg: SPSAConfig = SPSAConfig()):
     """jitted (params, k, key) -> (params, loss) closure."""
 

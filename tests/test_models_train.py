@@ -164,6 +164,86 @@ def test_spsa_gradient_mode_trains():
     assert np.mean(history[-20:]) < np.mean(history[:20])
 
 
+def test_spsa_split_step_semantics():
+    """spsa_split_step reproduces the reference's split update
+    (cg-hqpinn/...16q_effective.py:727-748): quantum leaves move by the
+    uniform-magnitude SPSA sign pattern, classical leaves receive exactly
+    the Adam update computed from the backprop gradient with the quantum
+    block frozen."""
+    import optax
+
+    from qcpinn_tpu.train.spsa import SPSAConfig, spsa_split_step
+
+    params = {
+        "q": jnp.array([0.3, -0.2, 0.7]),
+        "w": jnp.array([[1.0, -1.0], [0.5, 2.0]]),
+    }
+    target = jnp.array([0.1, 0.2])
+
+    def loss_fn(p, key):
+        z = jnp.tanh(p["q"])  # stands in for the circuit output
+        out = z[:2] @ p["w"]
+        return jnp.sum((out - target) ** 2)
+
+    cfg = SPSAConfig(a=0.05, c=0.02)
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init({"w": params["w"]})
+    key = jax.random.PRNGKey(0)
+    new_params, new_opt, loss = spsa_split_step(
+        loss_fn, params, jnp.asarray(1.0), key, cfg, optimizer, opt_state
+    )
+    # quantum: every component moved by the same magnitude a_k*|ghat|
+    # (Rademacher directions), and some component actually moved
+    dq = np.abs(np.asarray(new_params["q"] - params["q"]))
+    assert dq.max() > 0
+    np.testing.assert_allclose(dq, dq[0], rtol=1e-6)
+    # classical: exactly Adam on d(loss)/dw at frozen quantum
+    g = jax.grad(lambda w: loss_fn({"q": params["q"], "w": w["w"]}, None))(
+        {"w": params["w"]}
+    )
+    upd, _ = optimizer.update(g, optimizer.init({"w": params["w"]}))
+    expect_w = optax.apply_updates({"w": params["w"]}, upd)["w"]
+    np.testing.assert_allclose(
+        np.asarray(new_params["w"]), np.asarray(expect_w), rtol=1e-5
+    )
+    # the returned loss is the unperturbed evaluation
+    np.testing.assert_allclose(float(loss), float(loss_fn(params, None)), rtol=1e-6)
+
+
+def test_spsa_split_gradient_mode_trains():
+    """spsa-split converges much better than full-tree SPSA at the same
+    budget: the classical trunk gets first-order Adam steps while only the
+    quantum weights ride the zeroth-order estimator."""
+    cfg = QCPINNConfig(
+        num_qubits=2,
+        classic_network=(3, 8, 1),
+        q_ansatz="cascade",
+        epochs=150,
+        batch_size=12,
+        lr=2e-3,
+        print_every=75,
+        seed=0,
+        shots=256,
+        gradient_mode="spsa-split",
+    )
+    model = DVSolver(cfg)
+    params, history = _run_short_training(model, cfg)
+    assert np.all(np.isfinite(history))
+    assert np.mean(history[-20:]) < np.mean(history[:20])
+
+
+def test_spsa_split_rejects_no_quantum_params():
+    import pytest
+
+    cfg = QCPINNConfig(
+        solver="Classical", classic_network=(3, 8, 1), epochs=5,
+        batch_size=8, print_every=5, gradient_mode="spsa-split",
+    )
+    model = ClassicalSolver(cfg)
+    with pytest.raises(ValueError, match="spsa-split"):
+        _run_short_training(model, cfg)
+
+
 def test_backprop_with_shots_trains_analytic():
     """Reference AER semantics: shots are ignored under backprop (loudly
     logged) — the trajectory is bitwise the exact-mode one."""
