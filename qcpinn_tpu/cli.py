@@ -66,6 +66,33 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--data-parallel", action="store_true",
                    help="shard the collocation batch over all local devices")
 
+    g = sub.add_parser(
+        "crystal",
+        help="phase-field crystal growth: 5-output hybrid model trained "
+             "by SPSA (hybrid_qpinn_2dcrystal_ibmtest.py)")
+    g.add_argument("--n-qubits", type=int, default=4)
+    g.add_argument("--n-layers", type=int, default=3)
+    g.add_argument("--spsa-steps", type=int, default=50)
+    g.add_argument("--spsa-lr", type=float, default=0.02)
+    g.add_argument("--spsa-delta", type=float, default=0.01)
+    g.add_argument("--n-bulk", type=int, default=32)
+    g.add_argument("--n-interface", type=int, default=64)
+    g.add_argument("--warmup-epochs", type=int, default=0,
+                   help="classical-only Adam pretrain epochs before SPSA "
+                        "(the staged recipe of test_hqpinn_cg.py:180-199)")
+    g.add_argument("--warmup-lr", type=float, default=1e-3)
+    g.add_argument("--mode", default="spsa", choices=["spsa", "spsa-split"],
+                   help="spsa = quantum weights only (reference fidelity); "
+                        "spsa-split = + simultaneous Adam on the classical "
+                        "partition (cg-hqpinn recipe)")
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--log-every", type=int, default=5)
+    g.add_argument("--artifact", default="",
+                   help="write a machine-readable run record (config + "
+                        "loss histories) to this JSON path")
+    g.add_argument("--save", default="", help="checkpoint path")
+    g.add_argument("--output-dir", default="runs")
+
     c = sub.add_parser("cz", help="Czochralski two-phase pipeline")
     c.add_argument("--phase", choices=["pretrain", "finetune", "eval"],
                    required=True)
@@ -328,6 +355,76 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_crystal(args) -> int:
+    """Assembled phase-field crystal-growth pipeline: CrystalPINN +
+    crystal_growth_loss + adaptive interface sampling + SPSA — the
+    reference's hybrid_qpinn_2dcrystal_ibmtest.py main() (:300-335) as a
+    subcommand (no cloud session; the exact engine stands in for the
+    Runtime Estimator)."""
+    import json
+
+    import jax
+
+    from .models.crystal import CrystalPINN
+    from .models.nn_core import count_params
+    from .train.crystal import CrystalConfig, train_crystal
+    from .utils.logger import Logging
+
+    logger = Logging(args.output_dir, "crystal")
+    cfg = CrystalConfig(
+        n_qubits=args.n_qubits,
+        n_layers=args.n_layers,
+        spsa_steps=args.spsa_steps,
+        spsa_lr=args.spsa_lr,
+        spsa_delta=args.spsa_delta,
+        n_bulk=args.n_bulk,
+        n_interface=args.n_interface,
+        warmup_epochs=args.warmup_epochs,
+        warmup_lr=args.warmup_lr,
+        mode=args.mode,
+        seed=args.seed,
+        log_every=args.log_every,
+    )
+    logger.print(f"crystal config: {json.dumps(dataclasses_asdict(cfg))}")
+    model = CrystalPINN(n_qubits=cfg.n_qubits, n_layers=cfg.n_layers)
+    params, hist = train_crystal(model, cfg, logger=logger)
+    logger.print(f"parameters: {count_params(params)} "
+                 f"(quantum: {int(params['q'].size)})")
+    h = hist["spsa_history"]
+    summary = {
+        "config": dataclasses_asdict(cfg),
+        "params_total": count_params(params),
+        "params_quantum": int(params["q"].size),
+        "warmup_history": hist["warmup_history"],
+        "spsa_history": h,
+        "spsa_first5_mean": sum(h[:5]) / max(len(h[:5]), 1),
+        "spsa_last5_mean": sum(h[-5:]) / max(len(h[-5:]), 1),
+    }
+    logger.print(
+        f"crystal loss: {summary['spsa_first5_mean']:.4e} -> "
+        f"{summary['spsa_last5_mean']:.4e} over {len(h)} SPSA steps"
+    )
+    if args.save:
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save, params, loss_history=h,
+                        config=dataclasses_asdict(cfg), epoch=len(h))
+        logger.print(f"checkpoint saved to {args.save}.npz")
+    if args.artifact:
+        import numpy as np  # noqa: F401 (json floats come from device_get)
+
+        with open(args.artifact, "w") as f:
+            json.dump(summary, f, indent=1)
+        logger.print(f"artifact written to {args.artifact}")
+    return 0
+
+
+def dataclasses_asdict(cfg):
+    import dataclasses as _dc
+
+    return _dc.asdict(cfg)
+
+
 def cmd_cz(args) -> int:
     import jax
 
@@ -353,25 +450,38 @@ def cmd_cz(args) -> int:
     # space the model was trained in, and fail loudly on an architecture
     # mismatch instead of a shape error deep inside the forward pass.
     ckpt_stats = None
+    manifest = {}
     if args.load:
         import json as _json
         import os as _os
 
+        manifest_path = args.load + ".json"
+        if _os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = _json.load(f)
         if args.phase in ("eval", "finetune"):
             sidecar = args.load + ".stats.json"
             if _os.path.exists(sidecar):
                 with open(sidecar) as f:
                     ckpt_stats = DataStats.from_dict(_json.load(f))
-        manifest_path = args.load + ".json"
-        if _os.path.exists(manifest_path):
-            with open(manifest_path) as f:
-                ckpt_config = _json.load(f).get("config") or {}
-            saved_width = ckpt_config.get("trunk_width")
-            if saved_width is not None and int(saved_width) != args.trunk_width:
+            elif manifest.get("stats"):
+                # sidecar lost, but the manifest carries the same stats:
+                # restore from it so metrics stay in the trained normalized
+                # space instead of silently re-deriving from --data
+                ckpt_stats = DataStats.from_dict(manifest["stats"])
+        ckpt_config = manifest.get("config") or {}
+        # architecture guard: a mismatch in any of these passes the
+        # leaf-count template check (leaf count is shape-independent) and
+        # would die in a shape error deep inside the forward pass
+        for field, got in (("trunk_width", args.trunk_width),
+                           ("n_qubits", args.n_qubits),
+                           ("n_layers", args.n_layers)):
+            saved = ckpt_config.get(field)
+            if saved is not None and int(saved) != int(got):
+                flag = "--" + field.replace("_", "-")
                 raise SystemExit(
-                    f"checkpoint {args.load} was trained with --trunk-width "
-                    f"{saved_width}; rerun with --trunk-width {saved_width} "
-                    f"(got {args.trunk_width})"
+                    f"checkpoint {args.load} was trained with {flag} "
+                    f"{saved}; rerun with {flag} {saved} (got {got})"
                 )
 
     X, Y, stats = load_cz_data(args.data, stats=ckpt_stats)
@@ -486,8 +596,20 @@ def cmd_cz(args) -> int:
             # params (fresh optimizer/schedule — opt state is not part of
             # the cz checkpoint format, matching the reference's
             # save_checkpoint at CG_HQPINN_IBMtest_16qubits.py:443-455)
-            warm = load_checkpoint(args.load, ckpt_template())["bundle"]["params"]
+            restored_warm = load_checkpoint(args.load, ckpt_template())
+            warm = restored_warm["bundle"]["params"]
             logger.print(f"warm start from {args.load}")
+            saved_stats = restored_warm.get("stats")
+            if saved_stats and saved_stats != stats.to_dict():
+                # the warm-started params were trained in the checkpoint's
+                # normalized space; training against a different --data
+                # export reinterprets them — same hazard the eval/finetune
+                # sidecar restore prevents
+                logger.print(
+                    "WARNING: warm-start checkpoint stats differ from the "
+                    "file-derived stats of --data; the warm-started params "
+                    "will be reinterpreted in the new normalized space"
+                )
 
         if (mesh is not None and args.quick_check
                 and cfg.batch_size % mesh.shape["data"]):
@@ -518,17 +640,8 @@ def cmd_cz(args) -> int:
             raise SystemExit("finetune phase requires --load with the pretrain checkpoint")
         restored = load_checkpoint(args.load, ckpt_template())
         params = restored["bundle"]["params"]
-        if restored["stats"] and ckpt_stats is None:
-            # no .stats.json sidecar was found earlier, but the manifest
-            # carries stats: adopt them for the physics residuals (the
-            # data arrays above were normalized with file-derived stats —
-            # warn, since those spaces may differ)
-            stats = DataStats.from_dict(restored["stats"])
-            logger.print(
-                "WARNING: checkpoint has stats in its manifest but no "
-                ".stats.json sidecar; data was normalized from --data "
-                "while residuals use the checkpoint stats"
-            )
+        # (stats restore happens above: sidecar preferred, manifest
+        # fallback — both data normalization and residuals share them)
         # pre-finetune diagnostic suite (cg-hqpinn/...:515-587)
         if not args.no_plots:
             from .data.cz_loader import choose_calibration_subset
@@ -550,6 +663,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "train":
         return cmd_train(args)
+    if args.command == "crystal":
+        return cmd_crystal(args)
     if args.command == "cz":
         return cmd_cz(args)
     raise SystemExit(f"unknown command {args.command}")

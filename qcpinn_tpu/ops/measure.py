@@ -46,6 +46,36 @@ def exact_z(state: jnp.ndarray, n: int, noise: Optional[NoiseModel] = None):
     return z
 
 
+def exact_global_z(
+    state: jnp.ndarray, n: int, noise: Optional[NoiseModel] = None
+) -> jnp.ndarray:
+    """``<Z⊗...⊗Z>`` per sample, ``[B]``. A per-qubit depolarizing/readout
+    channel scales the n-qubit parity observable by the per-qubit factor to
+    the n-th power (each tensor factor is damped independently)."""
+    z = sv.global_z_expval(state, n)
+    if noise is not None:
+        scale = (1.0 - noise.depolarizing) * (1.0 - 2.0 * noise.readout)
+        z = z * (scale**n)
+    return z
+
+
+def sampled_global_z(
+    state: jnp.ndarray,
+    n: int,
+    shots: int,
+    key: jax.Array,
+    noise: Optional[NoiseModel] = None,
+) -> jnp.ndarray:
+    """Shot-sampled global parity: Binomial(shots, p_even) with
+    p_even = (1 + <Z..Z>)/2, estimator 2*k/shots - 1 — the hardware law
+    Var = (1 - <Z..Z>^2)/S for the crystal pipeline's single observable."""
+    z = exact_global_z(state, n, noise)
+    p_even = jnp.clip((1.0 + z) / 2.0, 0.0, 1.0)
+    counts = jax.random.binomial(key, n=float(shots), p=p_even)
+    est = 2.0 * counts.astype(jnp.float32) / float(shots) - 1.0
+    return jax.lax.stop_gradient(est)
+
+
 def sampled_z(
     state: jnp.ndarray,
     n: int,
@@ -59,7 +89,15 @@ def sampled_z(
     shifted parameters exactly as the reference does on IBM hardware
     (nn/DVQuantumLayer.py:140, cg-hqpinn/...:484-512).
     """
-    z = exact_z(state, n, noise)
+    return sample_z_from_expectations(exact_z(state, n, noise), shots, key)
+
+
+def sample_z_from_expectations(
+    z: jnp.ndarray, shots: int, key: jax.Array
+) -> jnp.ndarray:
+    """Binomial shot estimator on already-computed ``<Z>`` values — shared
+    by the single-device path and the amp-sharded gate engine (whose psum
+    already produced the full expectations)."""
     p1 = jnp.clip((1.0 - z) / 2.0, 0.0, 1.0)
     counts = jax.random.binomial(key, n=float(shots), p=p1)
     est = 1.0 - 2.0 * counts.astype(jnp.float32) / float(shots)

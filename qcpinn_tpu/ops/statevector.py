@@ -168,6 +168,31 @@ def bit_probabilities(state: jnp.ndarray, n: int) -> jnp.ndarray:
     return (1.0 - z_expvals(state, n)) / 2.0
 
 
+@functools.lru_cache(maxsize=32)
+def _parity_sign_vector(n: int) -> np.ndarray:
+    """``[2^n]`` float32 vector with entry s = (-1)^popcount(s) — the
+    eigenvalues of the global Z⊗...⊗Z observable."""
+    idx = np.arange(1 << n, dtype=np.int64)
+    pop = np.zeros_like(idx)
+    for w in range(n):
+        pop += (idx >> w) & 1
+    return (1.0 - 2.0 * (pop % 2)).astype(np.float32)
+
+
+def global_z_expval(state: jnp.ndarray, n: int) -> jnp.ndarray:
+    """``<Z⊗Z⊗...⊗Z>``: ``[B]`` float32 — the global-parity observable the
+    crystal-growth pipeline reads out
+    (hybrid_qpinn_2dcrystal_ibmtest.py:133-135, SparsePauliOp 'Z'*n)."""
+    probs = jnp.real(state * jnp.conj(state)).astype(RDTYPE)
+    sign = jnp.asarray(_parity_sign_vector(n))
+    return jnp.dot(
+        probs,
+        sign,
+        preferred_element_type=RDTYPE,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def encode_angle(state: jnp.ndarray, n: int, x: jnp.ndarray) -> jnp.ndarray:
     """AngleEmbedding with rotation='X' (nn/DVQuantumLayer.py:182):
     ``RX(x_w)`` on wire w, batched over samples."""
