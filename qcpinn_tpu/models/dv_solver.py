@@ -81,7 +81,8 @@ class DVSolver:
         (parallel/sharded_sv.py, cross-shard gates ride ICI ppermutes);
         ``backend='block'`` is the GSPMD block-fused engine
         (parallel/sharded_block.py, MXU einsums with XLA-inserted
-        collectives — also supports shots/noise sharded)."""
+        collectives). Both cover the full apply contract including
+        shots/noise measurement modes."""
         if backend == "block":
             from ..parallel.sharded_block import ShardedBlockCircuit
 

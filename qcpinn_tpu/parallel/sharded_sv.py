@@ -339,9 +339,10 @@ class ShardedCircuit:
     Differentiable to any order (plain XLA + collectives), so the nested-AD
     PDE operators work through it; :meth:`evolve` additionally lets the
     tangent-stream residuals run their stacked derivative streams through
-    the sharded evolution. Shot-sampling and noise channels are
-    single-device features (use the unsharded engines for hardware-fidelity
-    experiments)."""
+    the sharded evolution. Shot-sampling and noise channels compose on the
+    psum-reduced ``<Z>`` output (the per-shard probability masses are
+    already globally reduced inside the shard_map), so this backend covers
+    the full apply contract like the block engine."""
 
     def __init__(
         self,
@@ -364,15 +365,22 @@ class ShardedCircuit:
         return arr, b
 
     def apply(self, params, x, *, shots=None, key=None, noise=None):
-        if shots is not None or noise is not None:
-            raise NotImplementedError(
-                "shots/noise modes run on the unsharded engines"
-            )
         # shard_map needs the batch divisible by the data axis; pad + slice
         # (static shapes under jit, so this costs one pad/slice pair)
         x, b = self._pad_batch(x)
-        z = self._apply(params, x)
-        return z[:b]
+        z = self._apply(params, x)[:b]
+        # measurement post-processing on the reduced expectations — the
+        # same estimator as the single-device engine (ops/measure.py), so
+        # sharded shots/noise match unsharded bitwise for a shared key
+        if noise is not None:
+            z = noise.apply(z)
+        if shots is not None:
+            if key is None:
+                raise ValueError("shots mode needs a PRNG key")
+            from ..ops.measure import sample_z_from_expectations
+
+            z = sample_z_from_expectations(z, shots, key)
+        return z
 
     def evolve(self, params, state):
         """Ansatz layers + epilogue on an arbitrary [B, 2^n] complex state —

@@ -1,7 +1,7 @@
 """GSPMD-sharded block-fused engine (parallel/sharded_block.py): MXU
 einsums over a ``P(data, amp, None)``-sharded state, collectives inserted
 by XLA — must match the single-device engines exactly, including the
-shots/noise surface the per-gate sharded engine rejects."""
+shots/noise measurement surface."""
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,8 @@ def test_shots_and_noise_supported_sharded():
     """The GSPMD engine keeps the full measurement surface: exact noise
     scaling matches the analytic depolarizing/readout factor, and sampled_z
     concentrates around the exact value at large shots — both run sharded
-    (the per-gate sharded engine raises NotImplementedError here)."""
+    (the per-gate sharded engine covers the same surface on its psum-reduced
+    expectations — see test_sharded_sv.py)."""
     from qcpinn_tpu.ops.measure import NoiseModel
 
     circ, sb, params, x, _ = _pair(4, "cascade", 1, data=2, amp=4)

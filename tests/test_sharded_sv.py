@@ -161,3 +161,37 @@ def test_amplitude_encoding_sharded(amp):
     mesh = make_mesh(data=8 // amp, amp=amp)
     got = np.asarray(jax.jit(make_sharded_circuit_apply(circ, mesh))(params, x))
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_gate_backend_shots_and_noise_match_unsharded():
+    """The per-gate sharded engine's shots/noise post-processing runs on the
+    psum-reduced expectations with the same estimator as ops/measure.py, so
+    for a shared key the sharded and unsharded results agree bitwise."""
+    from qcpinn_tpu.ops.measure import NoiseModel
+    from qcpinn_tpu.parallel.sharded_sv import ShardedCircuit
+
+    circ = DVCircuit(num_qubits=4, num_quantum_layers=1, q_ansatz="cascade",
+                     seed=11)
+    mesh = make_mesh(data=2, amp=4)
+    sc = ShardedCircuit(circ, mesh)
+    params = circ.init_params(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 4))
+    noise = NoiseModel(0.05, 0.01)
+    key = jax.random.PRNGKey(7)
+
+    got = np.asarray(
+        jax.jit(lambda p, xx, k: sc.apply(p, xx, shots=512, key=k, noise=noise))(
+            params, x, key
+        )
+    )
+    want = np.asarray(
+        jax.jit(lambda p, xx, k: circ.apply(p, xx, shots=512, key=k, noise=noise))(
+            params, x, key
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+    # noise-only exact path: analytic scaling factor
+    exact = np.asarray(jax.jit(sc.apply)(params, x))
+    noisy = np.asarray(jax.jit(lambda p, xx: sc.apply(p, xx, noise=noise))(params, x))
+    np.testing.assert_allclose(noisy, exact * 0.95 * 0.98, atol=1e-6)
