@@ -28,8 +28,37 @@ import time
 
 BASELINE_PTS_PER_SEC = 10.5  # scripts/baseline_torch_cpu.py on this machine
 
+# TPU v5e (v5 lite) public per-chip peaks: 197 TFLOP/s bf16 matmul,
+# 819 GB/s HBM bandwidth. The roofline denominators for MFU / HBM-util.
+PEAK_BF16_FLOPS = 197e12
+PEAK_HBM_BYTES = 819e9
 
-def _build(use_pallas: bool, batch: int):
+
+def roofline(compiled, n_steps: int, dt: float) -> dict:
+    """MFU / HBM-utilization from XLA's own cost model for the compiled
+    scan (VERDICT r3 #3: graduate perf claims from x-CPU to roofline
+    terms). ``flops`` is XLA's nominal executed-HLO count — with
+    Precision.HIGHEST the MXU additionally runs ~6 bf16 passes per f32
+    matmul, so the bf16-peak MFU understates hardware occupancy by that
+    factor (documented in PARITY.md)."""
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) / n_steps
+        bytes_ = float(ca.get("bytes accessed", 0.0)) / n_steps
+    except Exception:  # noqa: BLE001 - cost model availability varies
+        return {}
+    if flops <= 0 or dt <= 0:
+        return {}
+    return {
+        "flops_per_step": flops,
+        "mfu_pct_bf16_peak": round(100.0 * flops / dt / PEAK_BF16_FLOPS, 2),
+        "hbm_util_pct": round(100.0 * bytes_ / dt / PEAK_HBM_BYTES, 1),
+        "arith_intensity_flops_per_byte": round(flops / max(bytes_, 1.0), 1),
+    }
+
+
+def _build(use_pallas: bool, batch: int, n_qubits: int = 12):
     import jax
     import jax.numpy as jnp
     import optax
@@ -40,7 +69,7 @@ def _build(use_pallas: bool, batch: int):
     from qcpinn_tpu.physics.streams import dv_diffusion_residual_streams
 
     cfg = QCPINNConfig(
-        num_qubits=12,
+        num_qubits=n_qubits,
         num_quantum_layers=1,
         q_ansatz="cross_mesh",
         classic_network=(3, 50, 1),
@@ -136,17 +165,19 @@ def main():
             times.sort()
             dt = times[len(times) // 2]
             pts = batch / dt
-            print(
-                json.dumps(
-                    {
-                        "metric": "collocation points/sec, 12-qubit cross_mesh QCPINN train step"
-                        + ("" if use_pallas else " (xla fallback)"),
-                        "value": round(pts, 1),
-                        "unit": "points/sec",
-                        "vs_baseline": round(pts / BASELINE_PTS_PER_SEC, 1),
-                    }
-                )
-            )
+            record = {
+                "metric": "collocation points/sec, 12-qubit cross_mesh QCPINN train step"
+                + ("" if use_pallas else " (xla fallback)"),
+                "value": round(pts, 1),
+                "unit": "points/sec",
+                "vs_baseline": round(pts / BASELINE_PTS_PER_SEC, 1),
+            }
+            if os.environ.get("QCPINN_BENCH_MODE") != "stepjit":
+                compiled = scan.lower(
+                    params, opt_state, jax.random.fold_in(key, 0), n_steps
+                ).compile()
+                record.update(roofline(compiled, n_steps, dt))
+            print(json.dumps(record))
             return
         except Exception as e:  # noqa: BLE001 - fall back to the XLA path
             import sys

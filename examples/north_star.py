@@ -83,6 +83,8 @@ def main():
                     help="scale on the decoder's quantum-feature columns at "
                     "the phase-1 -> phase-2 handoff, so switching on the "
                     "circuit perturbs the converged fit smoothly")
+    ap.add_argument("--artifact", default="",
+                    help="also write {command, result} JSON to this path")
     ap.add_argument("--lr2", type=float, default=None,
                     help="phase-2 lr (default lr/5)")
     args = ap.parse_args()
@@ -286,6 +288,14 @@ def main():
         )
         result.update(stage_info)
     print(json.dumps(result))
+    if args.artifact:
+        # machine-readable run record with its exact command line, the
+        # artifact standard the cz runs set (VERDICT r3 weak #4)
+        with open(args.artifact, "w") as f:
+            json.dump(
+                {"command": "python " + " ".join(sys.argv), "result": result},
+                f, indent=1,
+            )
 
 
 if __name__ == "__main__":

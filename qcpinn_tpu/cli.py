@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--output-dir", default="runs")
     t.add_argument("--run-name", default=None)
     t.add_argument("--eval-grid", type=int, default=20)
+    t.add_argument("--metrics-json", default="",
+                   help="also write {command, config, metrics, final_loss} "
+                        "to this JSON path (the artifact standard of the "
+                        "cz runs)")
     t.add_argument("--no-plots", action="store_true")
     t.add_argument("--data-parallel", action="store_true",
                    help="shard the collocation batch over all local devices")
@@ -331,6 +335,7 @@ def cmd_train(args) -> int:
     )
     logger.print(f"checkpoint: {ckpt}")
 
+    metrics = {}
     if args.problem in ("diffusion", "diffusion_sine", "navier_stokes"):
         import numpy as _np
 
@@ -344,6 +349,23 @@ def cmd_train(args) -> int:
         )
         for k, v in metrics.items():
             logger.print(f"{k}: {v:.4f}")
+    if args.metrics_json:
+        import json as _json
+        import sys as _sys
+
+        with open(args.metrics_json, "w") as f:
+            _json.dump(
+                {
+                    "command": "python -m qcpinn_tpu.cli "
+                    + " ".join(_sys.argv[1:]),
+                    "config": cfg.masked_dict(),
+                    "metrics": {k: float(v) for k, v in metrics.items()},
+                    "final_loss": float(history[-1]) if history else None,
+                    "trainable_params": count_trainable(params),
+                },
+                f, indent=1,
+            )
+        logger.print(f"metrics artifact written to {args.metrics_json}")
         if not args.no_plots:
             from .utils.plotting import draw_contourf_grid, plot_loss_history
 
