@@ -593,13 +593,34 @@ def make_fused_backend(circuit: DVCircuit, interpret: bool = False,
       time independent of circuit length; needs n >= 10 compiled.
     - ``unrolled`` (:mod:`pallas_sv`): straight-line Mosaic code; fine for
       7 <= n <= 12, and the only *Pallas* option for 7 <= n < 10.
-    ``auto`` chooses block for n >= 10 (MXU tiles of >= 2^5 x 2^5 per
-    block); below that it picks loop under ``interpret=True`` (tests — the
-    loop kernel has no sublane minimum in interpret mode) and unrolled
-    compiled. Raises if no backend supports the circuit (callers degrade
-    to the XLA gate-sweep path)."""
+    - ``block_pallas`` (:mod:`block_pallas`): the block engine's segment
+      chain fused into ONE Pallas kernel per batch tile (one HBM round trip
+      instead of one per segment); reverse-mode AD only; requires a
+      decomposition with no boundary-straddling segments (cross_mesh
+      qualifies; ring-closure ansatzes do not).
+    ``auto`` chooses block_pallas for n >= 10 when the circuit qualifies
+    (the streams hot path is reverse-mode), else block; below n=10 it picks
+    loop under ``interpret=True`` (tests — the loop kernel has no sublane
+    minimum in interpret mode) and unrolled compiled. Raises if no backend
+    supports the circuit (callers degrade to the XLA gate-sweep path)."""
     if backend == "auto":
-        backend = "block" if circuit.n >= 10 else ("loop" if interpret else "unrolled")
+        if circuit.n >= 10:
+            import os
+
+            backend = "block"
+            # opt-in knob while block_pallas soaks: QCPINN_AUTO_FUSED=1
+            # (flipped to default-on once validated on-chip)
+            if os.environ.get("QCPINN_AUTO_FUSED", "0") == "1":
+                from . import block_pallas as bp
+
+                if bp.supports(circuit):
+                    backend = "block_pallas"
+        else:
+            backend = "loop" if interpret else "unrolled"
+    if backend == "block_pallas":
+        from .block_pallas import BlockPallasCircuit
+
+        return BlockPallasCircuit(circuit, interpret=interpret)
     if backend == "block":
         from .block_fused import BlockFusedCircuit
 
