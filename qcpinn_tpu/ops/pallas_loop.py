@@ -608,8 +608,13 @@ def make_fused_backend(circuit: DVCircuit, interpret: bool = False,
             import os
 
             backend = "block"
-            # opt-in knob while block_pallas soaks: QCPINN_AUTO_FUSED=1
-            # (flipped to default-on once validated on-chip)
+            # opt-in knob: QCPINN_AUTO_FUSED=1. Measured on-chip
+            # (artifacts/block_pallas_onchip.json): parity holds but the
+            # fused kernel is SLOWER than the XLA block engine (0.65-0.9x
+            # at 12-16q) — XLA's own fusion already keeps the segment
+            # chain in VMEM at these sizes, so the hand-written kernel
+            # only adds Mosaic overhead. Stays opt-in as an HBM
+            # experiment; do not flip default-on.
             if os.environ.get("QCPINN_AUTO_FUSED", "0") == "1":
                 from . import block_pallas as bp
 
