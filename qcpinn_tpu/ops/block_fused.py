@@ -46,6 +46,27 @@ from .program import Op
 
 HI = jax.lax.Precision.HIGHEST
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,  # 6 bf16 MXU passes per f32 matmul
+    "high": jax.lax.Precision.HIGH,  # 3 passes (bf16x3 ~ f32 accuracy)
+    "default": jax.lax.Precision.DEFAULT,  # 1 pass (raw bf16)
+}
+
+
+def _env_precision():
+    """Resolve the block-einsum precision from QCPINN_BLOCK_PRECISION.
+
+    Each complex64 einsum lowers to 4 real matmuls, and each f32 matmul at
+    HIGHEST costs 6 bf16 MXU passes; HIGH costs 3 at ~f32 accuracy
+    (bf16x3), halving the MXU work per block matmul. Measured deviation
+    and step-time numbers: artifacts/block_precision_onchip.json
+    (scripts/precision_probe.py). HIGHEST stays the default — all parity
+    suites are calibrated to it; flip per-run with
+    QCPINN_BLOCK_PRECISION=high."""
+    import os
+
+    return _PRECISIONS[os.environ.get("QCPINN_BLOCK_PRECISION", "highest")]
+
 
 @dataclasses.dataclass(frozen=True)
 class Segment:
@@ -117,7 +138,7 @@ class BlockFusedCircuit:
         self,
         circuit: DVCircuit,
         hi_bits: Optional[int] = None,
-        precision=HI,
+        precision=None,
         remat: bool = False,
     ):
         n = circuit.n
@@ -128,7 +149,7 @@ class BlockFusedCircuit:
         if not 1 <= self.hb < n:
             raise ValueError(f"hi_bits {self.hb} out of range for n={n}")
         self.lb = n - self.hb
-        self.precision = precision
+        self.precision = _env_precision() if precision is None else precision
         # rematerialize the evolution in the backward pass instead of
         # storing every segment's full state (one extra forward of
         # recompute). Helps when the segment chain dominates live memory;

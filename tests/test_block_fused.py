@@ -129,3 +129,27 @@ def test_remat_evolve_matches_and_grads():
     g1 = jax.jit(jax.grad(lambda p: jnp.sum(bf.apply(p, x) ** 2)))(params)
     g2 = jax.jit(jax.grad(lambda p: jnp.sum(ref.apply(p, x) ** 2)))(params)
     np.testing.assert_allclose(g1, g2, atol=1e-5)
+
+
+def test_precision_knob_env_and_override(monkeypatch):
+    """QCPINN_BLOCK_PRECISION resolves the default einsum precision; an
+    explicit constructor arg wins; HIGH stays numerically close to
+    HIGHEST (bf16x3 ~ f32 — the measured on-chip knob, see
+    artifacts/block_precision_onchip.json)."""
+    circuit = _circ("cross_mesh", n=6)
+    monkeypatch.setenv("QCPINN_BLOCK_PRECISION", "high")
+    bf_env = BlockFusedCircuit(circuit)
+    assert bf_env.precision == jax.lax.Precision.HIGH
+    bf_arg = BlockFusedCircuit(circuit, precision=jax.lax.Precision.HIGHEST)
+    assert bf_arg.precision == jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("QCPINN_BLOCK_PRECISION", "bogus")
+    with pytest.raises(KeyError):
+        BlockFusedCircuit(circuit)
+    monkeypatch.delenv("QCPINN_BLOCK_PRECISION")
+    assert BlockFusedCircuit(circuit).precision == jax.lax.Precision.HIGHEST
+
+    params = circuit.init_params(jax.random.PRNGKey(0)).reshape(-1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 6), minval=-1.0, maxval=1.0)
+    np.testing.assert_allclose(
+        bf_env.apply(params, x), bf_arg.apply(params, x), atol=2e-3
+    )
