@@ -41,6 +41,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=42)
     t.add_argument("--print-every", type=int, default=500)
     t.add_argument("--scheduler", default="plateau", choices=["plateau", "cosine", "none"])
+    t.add_argument("--best-val", action="store_true",
+                   help="track a fixed 512-point analytic-solution "
+                        "validation set every logging chunk and keep the "
+                        "best params seen (train/loop.py best-val, the "
+                        "reference's si_q_pinn_improved.py:608-624 "
+                        "capability) — rescues oscillating runs (measured: "
+                        "the CV solver's loss visits ~1e-2 then diverges "
+                        "at the reference's own lr; see PARITY.md)")
     t.add_argument("--shots", type=int, default=None,
                    help="shot-noise simulation mode (hardware fidelity); "
                         "takes effect with --gradient-mode parameter-shift "
@@ -320,7 +328,23 @@ def cmd_train(args) -> int:
         mesh = make_mesh()
         logger.print(f"data-parallel over mesh {dict(mesh.shape)}")
 
-    params, history = train(model, cfg, terms, operator, logger=logger, mesh=mesh)
+    val_fn = None
+    if args.best_val:
+        import jax as _jax
+
+        from .train.loop import make_val_fn
+
+        # fixed analytic-solution validation set drawn from the residual
+        # term's domain sampler (same box the model trains over)
+        X_val, _ = terms["res"].sampler.sample(
+            _jax.random.PRNGKey(10_000 + cfg.seed), 512
+        )
+        val_fn = make_val_fn(model.apply, X_val, analytic_u(X_val))
+        logger.print("best-val tracking on (512-point analytic set)")
+
+    params, history = train(
+        model, cfg, terms, operator, logger=logger, mesh=mesh, val_fn=val_fn
+    )
     logger.print(f"trainable parameters: {count_trainable(params)}")
 
     # evaluation + artifacts

@@ -151,3 +151,24 @@ def test_cz_cli_amp_sharded_full_scope_finetune(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "'amp': 2" in out and "scope=full" in out
     assert os.path.exists(ck_ft + ".npz")
+
+
+def test_train_cli_best_val_tracks_and_restores(tmp_path, capsys):
+    """--best-val reaches train(): a fixed analytic validation set is
+    tracked every logging chunk and the best params are restored at the
+    end (the oscillating-CV rescue; see PARITY.md CV section)."""
+    mj = str(tmp_path / "m.json")
+    rc = main([
+        "train", "--problem", "diffusion", "--solver", "DV",
+        "--num-qubits", "2", "--num-layers", "1", "--hidden-dim", "8",
+        "--epochs", "40", "--batch-size", "8", "--print-every", "10",
+        "--best-val", "--no-plots", "--metrics-json", mj,
+        "--output-dir", str(tmp_path / "runs"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "best-val tracking on" in out
+    assert "val:" in out  # per-chunk validation reporting
+    assert os.path.exists(mj)
+    metrics = json.load(open(mj))["metrics"]
+    assert np.isfinite(list(metrics.values())).all()
