@@ -377,11 +377,14 @@ def cmd_train(args) -> int:
         import json as _json
         import sys as _sys
 
+        # prefer the argv actually parsed (main(argv=...) callers — tests,
+        # wrappers — have an empty/foreign sys.argv)
+        arg_list = args._argv if args._argv is not None else _sys.argv[1:]
         with open(args.metrics_json, "w") as f:
             _json.dump(
                 {
                     "command": "python -m qcpinn_tpu.cli "
-                    + " ".join(_sys.argv[1:]),
+                    + " ".join(arg_list),
                     "config": cfg.masked_dict(),
                     "metrics": {k: float(v) for k, v in metrics.items()},
                     "final_loss": float(history[-1]) if history else None,
@@ -707,6 +710,7 @@ def cmd_cz(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    args._argv = list(argv) if argv is not None else None
     if args.command == "train":
         return cmd_train(args)
     if args.command == "crystal":
