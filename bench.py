@@ -105,10 +105,14 @@ def _build(use_pallas: bool, batch: int, n_qubits: int = 12):
 
         def loss_fn(p):
             _, r = dv_diffusion_residual_streams(model, p, Xr)
+            # one apply for both value terms: the step is latency-bound on
+            # the circuit chain (PARITY round-4 roofline study), so each
+            # extra model.apply costs a full chain traversal
+            pv = model.apply(p, jnp.concatenate([Xb, Xi], axis=0))
             return (
                 2.0 * jnp.mean((r - yr) ** 2)
-                + 4.0 * jnp.mean((model.apply(p, Xb) - yb) ** 2)
-                + 2.0 * jnp.mean((model.apply(p, Xi) - yi) ** 2)
+                + 4.0 * jnp.mean((pv[: Xb.shape[0]] - yb) ** 2)
+                + 2.0 * jnp.mean((pv[Xb.shape[0]:] - yi) ** 2)
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

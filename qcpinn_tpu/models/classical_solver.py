@@ -46,6 +46,11 @@ def hopfield_apply(params: dict, x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarr
 
 
 class ClassicalSolver:
+    # the B x B Hopfield attention self-associates over the batch, so loss
+    # terms must NOT be concatenated into one apply (train/loop.py
+    # fuse_value_terms gates on this)
+    batch_coupled = True
+
     def __init__(self, config: QCPINNConfig, beta: float = 1.0):
         self.config = config
         self.beta = beta

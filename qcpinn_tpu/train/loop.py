@@ -81,6 +81,7 @@ def make_train_step(
     residual_fn: Optional[Callable] = None,
     shots_apply: Optional[Callable] = None,
     quantum_keys: Tuple[str, ...] = ("q",),
+    fuse_value_terms: bool = True,
 ):
     """Build (init_state, step_fn, scan_fn).
 
@@ -128,9 +129,24 @@ def make_train_step(
             )
         return x
 
+    # The step is latency-bound on the circuit's sequential op chain
+    # (PARITY.md round-4 roofline study), so every independent
+    # model_apply costs a full chain traversal regardless of its batch
+    # size. Concatenating all exact value terms (BC/IC walls) into ONE
+    # apply removes len(value_terms)-1 forward+backward traversals per
+    # step. Disabled for batch-coupled models (the Hopfield baseline
+    # self-associates over the batch — fusing would change semantics)
+    # and in shots mode (each term samples with its own fold_in key).
+    value_names = tuple(n for n in names if terms[n].kind != "residual")
+    fuse_values = (
+        fuse_value_terms and shots_apply is None and len(value_names) > 1
+    )
+
     def loss_fn(params, batches, k_shot):
         per_term = {}
         for i, name in enumerate(names):
+            if fuse_values and name in value_names:
+                continue
             X, y = batches[name]
             if terms[name].kind == "residual":
                 if residual_fn is not None:
@@ -143,6 +159,16 @@ def make_train_step(
             else:
                 pred = model_apply(params, X)
             per_term[name] = L.mse(pred, y)
+        if fuse_values:
+            preds = model_apply(
+                params,
+                jnp.concatenate([batches[n][0] for n in value_names], axis=0),
+            )
+            ofs = 0
+            for n in value_names:
+                b = batches[n][0].shape[0]
+                per_term[n] = L.mse(preds[ofs : ofs + b], batches[n][1])
+                ofs += b
         total = sum(terms[n].weight * per_term[n] for n in names)
         return total, per_term
 
@@ -350,6 +376,7 @@ def train(
     _, scan_steps = make_train_step(
         model.apply, operator, terms, optimizer, config, mesh=mesh,
         shots_apply=shots_apply, quantum_keys=quantum_keys,
+        fuse_value_terms=not getattr(model, "batch_coupled", False),
     )
 
     loss_history = []

@@ -267,3 +267,47 @@ def test_param_count_parity_shape():
     assert count_params(params["pre"]) == 404
     assert count_params(params["q"]) == 12
     assert count_params(params["post"]) == 301
+
+
+def test_fused_value_terms_match_unfused():
+    """fuse_value_terms concatenates the exact BC/IC applies into one
+    chain traversal (latency-bound step, PARITY round-4 roofline study);
+    the optimizer trajectory must match the per-term path exactly, and
+    the batch-coupled Hopfield baseline must opt out via batch_coupled."""
+    import optax
+
+    from qcpinn_tpu.models import ClassicalSolver as _CS
+    from qcpinn_tpu.train.loop import make_train_step
+    from qcpinn_tpu.train import optim as _optim
+
+    assert _CS.batch_coupled  # train() gates fusion off for Hopfield
+
+    cfg = QCPINNConfig(
+        num_qubits=2, classic_network=(3, 10, 1), q_ansatz="cascade",
+        epochs=4, batch_size=12, lr=5e-3, print_every=4, seed=0,
+    )
+    model = DVSolver(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    terms = diffusion_terms(
+        gaussian_pulse_samplers(), cfg.batch_size, cfg.loss_weights
+    )
+    opt = _optim.make_optimizer(cfg.lr)
+
+    trajs = []
+    for fuse in (True, False):
+        _, scan_steps = make_train_step(
+            model.apply, diffusion_operator, terms, opt, cfg,
+            fuse_value_terms=fuse,
+        )
+        p, o, s, trace = scan_steps(
+            params, opt.init(params), _optim.plateau_init(),
+            jax.random.PRNGKey(7), 0, 4,
+        )
+        trajs.append((np.asarray(trace["loss"]), p))
+    np.testing.assert_allclose(trajs[0][0], trajs[1][0], rtol=1e-6)
+    # params: concatenation reassociates the matmul tiling (same math,
+    # different float rounding) and Adam's g/(sqrt(v)+eps) normalization
+    # amplifies that on near-zero-gradient entries — so parity here is
+    # loose while the LOSS trajectory above stays tight
+    for a, b in zip(jax.tree.leaves(trajs[0][1]), jax.tree.leaves(trajs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
