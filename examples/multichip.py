@@ -86,6 +86,7 @@ def main() -> int:
         _, scan_steps = make_train_step(
             model.apply, None, terms, optimizer, cfg,
             mesh=(mesh if use_mesh else None), residual_fn=rfn,
+            fuse_value_terms=True,
         )
         t0 = time.time()
         out = scan_steps(

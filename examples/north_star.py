@@ -193,7 +193,7 @@ def main():
         sched = topt.plateau_init()
         _, scan_steps = make_train_step(
             apply_fn, diffusion_operator_fwd, terms, optimizer, cfg,
-            residual_fn=residual_fn,
+            residual_fn=residual_fn, fuse_value_terms=True,
         )
         out = scan_steps(params, opt_state, sched, key, 0, chunk)
         float(jax.device_get(out[3]["loss"])[-1])

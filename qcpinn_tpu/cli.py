@@ -331,16 +331,29 @@ def cmd_train(args) -> int:
     val_fn = None
     if args.best_val:
         import jax as _jax
+        import jax.numpy as _jnp
 
         from .train.loop import make_val_fn
 
-        # fixed analytic-solution validation set drawn from the residual
-        # term's domain sampler (same box the model trains over)
-        X_val, _ = terms["res"].sampler.sample(
-            _jax.random.PRNGKey(10_000 + cfg.seed), 512
-        )
+        # fixed analytic-solution validation set: half from the residual
+        # term's interior box, half split over the value-term (BC/IC wall)
+        # samplers — so 'best' params can't favor interior fit while the
+        # walls drift (the reference validates on its full data MSE,
+        # si_q_pinn_improved.py:599-624)
+        k_val = _jax.random.PRNGKey(10_000 + cfg.seed)
+        parts = [terms["res"].sampler.sample(k_val, 256)[0]]
+        value_terms = [t for t in terms.values() if t.kind == "value"]
+        per = max(256 // max(len(value_terms), 1), 1)
+        for i, t in enumerate(value_terms):
+            parts.append(
+                t.sampler.sample(_jax.random.fold_in(k_val, i + 1), per)[0]
+            )
+        X_val = _jnp.concatenate(parts, axis=0)
         val_fn = make_val_fn(model.apply, X_val, analytic_u(X_val))
-        logger.print("best-val tracking on (512-point analytic set)")
+        logger.print(
+            f"best-val tracking on ({X_val.shape[0]}-point analytic set: "
+            f"256 interior + {len(value_terms)} wall/IC samplers)"
+        )
 
     params, history = train(
         model, cfg, terms, operator, logger=logger, mesh=mesh, val_fn=val_fn

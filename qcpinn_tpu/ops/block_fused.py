@@ -65,7 +65,13 @@ def _env_precision():
     QCPINN_BLOCK_PRECISION=high."""
     import os
 
-    return _PRECISIONS[os.environ.get("QCPINN_BLOCK_PRECISION", "highest")]
+    v = os.environ.get("QCPINN_BLOCK_PRECISION", "highest")
+    if v not in _PRECISIONS:
+        raise ValueError(
+            f"QCPINN_BLOCK_PRECISION must be one of {list(_PRECISIONS)}, "
+            f"got {v!r}"
+        )
+    return _PRECISIONS[v]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.block_fused import HI, BlockFusedCircuit
+from ..ops.block_fused import BlockFusedCircuit
 from ..ops.circuit import DVCircuit
 
 
@@ -64,9 +64,12 @@ class ShardedBlockCircuit:
         amp_axis: str = "amp",
         data_axis: str = "data",
         hi_bits: Optional[int] = None,
-        precision=HI,
+        precision=None,
         remat: bool = False,
     ):
+        # precision=None resolves via the QCPINN_BLOCK_PRECISION env knob
+        # inside BlockFusedCircuit, so the knob governs the sharded engine
+        # too (round-4 advisor: a pinned HI here silently no-op'd it)
         A = mesh.shape[amp_axis]
         a = int(np.log2(A))
         if (1 << a) != A:

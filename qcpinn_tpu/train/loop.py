@@ -81,7 +81,7 @@ def make_train_step(
     residual_fn: Optional[Callable] = None,
     shots_apply: Optional[Callable] = None,
     quantum_keys: Tuple[str, ...] = ("q",),
-    fuse_value_terms: bool = True,
+    fuse_value_terms: bool = False,
 ):
     """Build (init_state, step_fn, scan_fn).
 
@@ -134,9 +134,13 @@ def make_train_step(
     # model_apply costs a full chain traversal regardless of its batch
     # size. Concatenating all exact value terms (BC/IC walls) into ONE
     # apply removes len(value_terms)-1 forward+backward traversals per
-    # step. Disabled for batch-coupled models (the Hopfield baseline
-    # self-associates over the batch — fusing would change semantics)
-    # and in shots mode (each term samples with its own fold_in key).
+    # step. OPT-IN (default False): fusing reorders float accumulation,
+    # so recorded trajectories only stay bit-stable when the caller
+    # chooses it explicitly — train() opts in for point-decoupled
+    # models. Never applied to batch-coupled models (the Hopfield
+    # baseline self-associates over the batch — fusing would change
+    # semantics) or in shots mode (each term samples with its own
+    # fold_in key).
     value_names = tuple(n for n in names if terms[n].kind != "residual")
     fuse_values = (
         fuse_value_terms and shots_apply is None and len(value_names) > 1

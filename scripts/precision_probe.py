@@ -132,9 +132,16 @@ def train_rows(n_qubits, batch):
         t = _timed(lambda: scan(params, opt_state, key, 10), n=1, warmup=1)
         return traj, t / 10.0
 
-    traj_hi, dt_hi = run("highest")
-    traj_h, dt_h = run("high")
-    os.environ["QCPINN_BLOCK_PRECISION"] = "highest"
+    prior = os.environ.get("QCPINN_BLOCK_PRECISION")
+    try:
+        traj_hi, dt_hi = run("highest")
+        traj_h, dt_h = run("high")
+    finally:
+        # restore the caller's knob (or unset) rather than clobbering it
+        if prior is None:
+            os.environ.pop("QCPINN_BLOCK_PRECISION", None)
+        else:
+            os.environ["QCPINN_BLOCK_PRECISION"] = prior
     row = {
         "check": f"streams train step {n_qubits}q B={batch}",
         "ms_highest": round(dt_hi * 1e3, 2),

@@ -143,7 +143,7 @@ def test_precision_knob_env_and_override(monkeypatch):
     bf_arg = BlockFusedCircuit(circuit, precision=jax.lax.Precision.HIGHEST)
     assert bf_arg.precision == jax.lax.Precision.HIGHEST
     monkeypatch.setenv("QCPINN_BLOCK_PRECISION", "bogus")
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError, match="must be one of"):
         BlockFusedCircuit(circuit)
     monkeypatch.delenv("QCPINN_BLOCK_PRECISION")
     assert BlockFusedCircuit(circuit).precision == jax.lax.Precision.HIGHEST
