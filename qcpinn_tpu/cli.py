@@ -28,8 +28,14 @@ def build_parser() -> argparse.ArgumentParser:
                             "helmholtz", "navier_stokes"])
     t.add_argument("--solver", default="DV", choices=["DV", "CV", "Classical"])
     t.add_argument("--ansatz", default="cascade",
-                   choices=["cascade", "layered", "alternate", "farhi", "sim_circ_15", "cross_mesh"])
-    t.add_argument("--encoding", default="angle", choices=["angle", "amplitude"])
+                   choices=["cascade", "layered", "alternate", "farhi",
+                            "sim_circ_15", "cross_mesh", "rot_ring"])
+    t.add_argument("--encoding", default="angle",
+                   choices=["angle", "angle_pi", "amplitude"],
+                   help="angle = RX(x_i) AngleEmbedding; angle_pi = "
+                        "RX(pi*x_i) (the standalone trainer's embedding, "
+                        "trainer/train.py:205-207 — pair with --ansatz "
+                        "rot_ring); amplitude = normalized zero-padded")
     t.add_argument("--num-qubits", type=int, default=4)
     t.add_argument("--num-layers", type=int, default=1)
     t.add_argument("--cutoff-dim", type=int, default=6)

@@ -24,7 +24,7 @@ class QCPINNConfig:
     num_qubits: int = 4
     num_quantum_layers: int = 1
     q_ansatz: str = "cascade"
-    encoding: str = "angle"  # angle | amplitude
+    encoding: str = "angle"  # angle | angle_pi | amplitude
 
     # CV quantum block
     cv_class: int = 1  # CVNeuralNetwork variant 1 | 2 | 3
@@ -59,7 +59,7 @@ class QCPINNConfig:
         self.loss_weights = tuple(self.loss_weights)
         if self.solver not in ("DV", "CV", "Classical"):
             raise ValueError(f"unknown solver {self.solver!r}")
-        if self.encoding not in ("angle", "amplitude"):
+        if self.encoding not in ("angle", "angle_pi", "amplitude"):
             raise ValueError(f"unknown encoding {self.encoding!r}")
         if self.gradient_mode not in (
             "backprop", "parameter-shift", "spsa", "spsa-split"

@@ -8,6 +8,9 @@ nn/DVQuantumLayer.py:246-371. Parameter counts per layer:
   layered     4n          alternate   4n - 4      cascade    3n
   farhi       2n - 2      sim_circ_15 2n          cross_mesh 4n + n(n-1)
 
+plus ``rot_ring`` (3n, the StronglyEntangling-style Rot+CNOT ring of the
+standalone trainer, trainer/train.py:208-218).
+
 Known reference defect (documented in SURVEY.md §7.4, not reproduced): for
 *even* n the reference's ``alternate`` loop emits n blocks (4n params) while
 allocating only 4n-4, crashing on index overflow. We emit blocks only while
@@ -159,6 +162,26 @@ def cross_mesh(n: int) -> Program:
     return tuple(ops)
 
 
+def rot_ring(n: int) -> Program:
+    """StronglyEntangling-style Rot+CNOT ring
+    (trainer/train.py:208-218): per layer, Rot(phi, theta, omega) on every
+    qubit, then a CNOT ring [i, (i+1)%n]. 3n params per layer (weight
+    shape (L, n, 3), trainer/train.py:223). The reference pairs this with
+    the pi-scaled RX encoding (``encoding="angle_pi"``,
+    trainer/train.py:205-207); the builder itself is encoding-agnostic.
+    Also the AngleEmbedding+StronglyEntanglingLayers prototype circuit
+    shape (hybrid_testing/CG_HQPINN_IBMtest.py:65-69)."""
+    ops: List[Op] = []
+    p = 0
+    for q in range(n):
+        ops.append(Op("rot", (q,), (p, p + 1, p + 2)))
+        p += 3
+    for q in range(n):
+        ops.append(Op("cnot", (q, (q + 1) % n)))
+    assert p == 3 * n
+    return tuple(ops)
+
+
 def reupload_cz_brickwork(n: int, layer: int) -> Program:
     """One layer of the 16-qubit Czochralski data-reuploading circuit
     (CG_HQPINN_IBMtest_16qubits.py:217-235), *excluding* the input-dependent
@@ -187,6 +210,7 @@ BUILDERS: Dict[str, callable] = {
     "farhi": farhi,
     "sim_circ_15": sim_circ_15,
     "cross_mesh": cross_mesh,
+    "rot_ring": rot_ring,
 }
 
 PARAM_COUNTS = {
@@ -196,6 +220,7 @@ PARAM_COUNTS = {
     "farhi": lambda n: 2 * n - 2,
     "sim_circ_15": lambda n: 2 * n,
     "cross_mesh": lambda n: 4 * n + n * (n - 1),
+    "rot_ring": lambda n: 3 * n,
 }
 
 

@@ -210,7 +210,9 @@ class BlockFusedCircuit:
         if self.circuit.encoding == "amplitude":
             prepared = sv.encode_amplitude(x, self.circuit.n)
         else:
-            prepared = sv.encode_angle_product(x, self.circuit.n)
+            prepared = sv.encode_angle_product(
+                x * getattr(self.circuit, "input_scale", 1.0), self.circuit.n
+            )
         return self.evolve(params, prepared)
 
     def apply(

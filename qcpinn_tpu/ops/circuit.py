@@ -49,10 +49,20 @@ class DVCircuit:
         fuse: bool = True,
         remat: bool = False,
     ):
+        if encoding not in ("angle", "angle_pi", "amplitude"):
+            raise ValueError(
+                f"unknown encoding {encoding!r}; have angle, angle_pi, "
+                "amplitude"
+            )
         self.n = num_qubits
         self.layers = num_quantum_layers
         self.ansatz = q_ansatz
         self.encoding = encoding
+        # 'angle_pi' is the standalone trainer's RX(pi * x_i) embedding
+        # (trainer/train.py:205-207, inputs pre-squashed to [-1,1] by a
+        # Tanh): same RX product encoder, inputs scaled by pi. Every
+        # backend multiplies by ``input_scale`` before its angle encode.
+        self.input_scale = math.pi if encoding == "angle_pi" else 1.0
         self.seed = seed
         self.program_raw = ansatz_lib.build(q_ansatz, num_qubits)
         self.params_per_layer = prog.num_params(self.program_raw)
@@ -105,7 +115,7 @@ class DVCircuit:
         if self.encoding == "amplitude":
             return sv.encode_amplitude(x, self.n)
         state = sv.zero_state(x.shape[0], self.n)
-        return sv.encode_angle(state, self.n, x)
+        return sv.encode_angle(state, self.n, x * self.input_scale)
 
     def evolve(self, params: jnp.ndarray, state: jnp.ndarray) -> jnp.ndarray:
         """Apply all ansatz layers + epilogue to a prepared state."""

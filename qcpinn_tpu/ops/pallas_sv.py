@@ -128,7 +128,10 @@ def gather_inputs(circuit: DVCircuit, mp: MicroProgram, params, x, batch=None):
     b = x.shape[0] if x is not None else batch
     p2 = params.reshape(circuit.layers, circuit.params_per_layer)
     if x is not None:
-        mats: List[jnp.ndarray] = [gates.rx(x[:, w]) for w in range(circuit.n)]
+        scale = getattr(circuit, "input_scale", 1.0)
+        mats: List[jnp.ndarray] = [
+            gates.rx(x[:, w] * scale) for w in range(circuit.n)
+        ]
     else:
         mats = []
     phases: List[jnp.ndarray] = []

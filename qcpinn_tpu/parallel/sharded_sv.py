@@ -281,8 +281,9 @@ def make_sharded_circuit_apply(
             local = local.at[:, 0].set(
                 jnp.where(idx == 0, 1.0 + 0.0j, 0.0 + 0.0j)
             )
+            scale = getattr(circuit, "input_scale", 1.0)
             for w in range(circuit.n):
-                local = ops.apply_1q(local, w, gates.rx(x[:, w]))
+                local = ops.apply_1q(local, w, gates.rx(x[:, w] * scale))
         p2 = params.reshape(circuit.layers, circuit.params_per_layer)
         for layer in range(circuit.layers):
             local = ops.apply_program(local, circuit.program, p2[layer])

@@ -107,6 +107,16 @@ def circuit_z_streams(
     n = circuit.n
     b = a.shape[0]
     E = circuit.prepare(a)  # [B, D]
+    # prepare() encodes RX(s*a) with s = input_scale (1 for 'angle', pi for
+    # 'angle_pi'); the analytic stream derivatives below are w.r.t. the
+    # rotation ANGLE, so chain-rule the scale into the tangents here.
+    # With theta = s*a: dE/dcol = A E (s da), d2E/dcol2 = A(AE)(s da)^2 +
+    # A E (s d2a) — scaling BOTH inputs by s is exact: the quadratic factor
+    # arises from the doubly-applied scaled first tangent below.
+    s_in = getattr(circuit, "input_scale", 1.0)
+    if s_in != 1.0:
+        d1 = {k: v * s_in for k, v in d1.items()}
+        d2 = {k: v * s_in for k, v in d2.items()}
     flips = _wire_flips(E, n)
 
     streams = [E]

@@ -38,6 +38,11 @@ def rz(t):
     )
 
 
+def rot(phi, theta, omega):
+    """PennyLane Rot(phi, theta, omega) = RZ(omega) RY(theta) RZ(phi)."""
+    return rz(omega) @ ry(theta) @ rz(phi)
+
+
 def controlled(u):
     """4x4 controlled-U, control = first wire."""
     out = np.eye(4, dtype=np.complex128)
@@ -137,6 +142,12 @@ def _apply_ansatz(sim: DenseSim, name: str, params: np.ndarray):
             # degenerate gates (ops/ansatz.py sim_circ_15); mirror that.
             if t != c:
                 sim.g2(CNOT, c, t)
+    elif name == "rot_ring":  # trainer/train.py:208-218
+        for q in range(n):
+            a, b, c = nxt(), nxt(), nxt()
+            sim.g1(rot(a, b, c), q)
+        for q in range(n):
+            sim.g2(CNOT, q, (q + 1) % n)
     elif name == "cross_mesh":  # :348-371
         for q in range(n):
             sim.g1(rx(nxt()), q)
@@ -171,6 +182,9 @@ def reference_circuit(
     if encoding == "angle":  # AngleEmbedding rotation="X" (:182)
         for w in range(n):
             sim.g1(rx(x[w]), w)
+    elif encoding == "angle_pi":  # RX(pi*x_i), trainer/train.py:205-207
+        for w in range(n):
+            sim.g1(rx(np.pi * x[w]), w)
     elif encoding == "amplitude":  # normalize + zero-pad (:177-180)
         amp = np.zeros(2**n, dtype=np.complex128)
         amp[: len(x)] = x

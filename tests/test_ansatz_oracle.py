@@ -11,7 +11,8 @@ from qcpinn_tpu.ops import DVCircuit
 
 from oracle_dense import reference_circuit
 
-ANSATZE = ["cascade", "layered", "alternate", "farhi", "sim_circ_15", "cross_mesh"]
+ANSATZE = ["cascade", "layered", "alternate", "farhi", "sim_circ_15",
+           "cross_mesh", "rot_ring"]
 
 
 @pytest.mark.parametrize("ansatz", ANSATZE)
@@ -42,6 +43,31 @@ def test_two_layer_matches_oracle(ansatz, rng):
     p_np = np.asarray(jax.device_get(params), dtype=np.float64)
     want = np.stack(
         [reference_circuit(n, ansatz, p_np, x[b], seed=3) for b in range(2)]
+    )
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+@pytest.mark.parametrize("n", [2, 3, 4, 5])
+def test_rot_ring_pi_encoding_matches_oracle(n, rng):
+    """The standalone trainer's full circuit (trainer/train.py:205-218):
+    RX(pi*x_i) embedding + Rot-per-qubit + CNOT ring, 2 layers, no Haar
+    epilogue in the reference file (seed=None path) — exact parity."""
+    circ = DVCircuit(
+        num_qubits=n, num_quantum_layers=2, q_ansatz="rot_ring",
+        encoding="angle_pi", seed=None,
+    )
+    assert circ.params_per_layer == 3 * n
+    params = circ.init_params(jax.random.PRNGKey(4))
+    x = rng.uniform(-1.0, 1.0, (3, n)).astype(np.float32)  # tanh-squashed
+    got = np.asarray(jax.jit(circ.apply)(params, x))
+    p_np = np.asarray(jax.device_get(params), dtype=np.float64)
+    want = np.stack(
+        [
+            reference_circuit(
+                n, "rot_ring", p_np, x[b], seed=None, encoding="angle_pi"
+            )
+            for b in range(3)
+        ]
     )
     np.testing.assert_allclose(got, want, atol=5e-6)
 

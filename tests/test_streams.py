@@ -52,6 +52,27 @@ def test_streams_gradients(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-4)
 
 
+def test_streams_match_autodiff_rot_ring_pi_encoding(rng):
+    """angle_pi chain rule through the streams: the scale s=pi enters the
+    first tangents once and the curvature twice (via the doubly-applied
+    scaled tangent) — must match nested autodiff exactly."""
+    cfg = QCPINNConfig(
+        num_qubits=3, classic_network=(3, 10, 1), q_ansatz="rot_ring",
+        encoding="angle_pi", seed=3,
+    )
+    model = DVSolver(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    X = jnp.asarray(rng.uniform(0.1, 0.9, (8, 3)).astype(np.float32))
+    u_ref, r_ref = jax.jit(
+        lambda Xp: diffusion_operator_fwd(lambda Xq: model.apply(params, Xq), Xp)
+    )(X)
+    u_st, r_st = jax.jit(
+        lambda p, Xp: dv_diffusion_residual_streams(model, p, Xp)
+    )(params, X)
+    np.testing.assert_allclose(np.asarray(u_st), np.asarray(u_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_st), np.asarray(r_ref), rtol=5e-3, atol=5e-4)
+
+
 def test_streams_multilayer_with_haar(rng):
     cfg = QCPINNConfig(
         num_qubits=4, num_quantum_layers=2, classic_network=(3, 8, 1),
