@@ -77,7 +77,9 @@ def _build(use_pallas: bool, batch: int, n_qubits: int = 12):
         lr=5e-3,
         seed=42,
     )
+    global _last_model
     model = DVFourierSolver(cfg)
+    _last_model = model  # introspection hook (scripts/mfu_ladder.py)
     if use_pallas:
         import os
 

@@ -71,8 +71,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "+ Adam on the classical partition (the "
                         "reference's hardware recipe, "
                         "cg-hqpinn/...:727-748)")
+    t.add_argument("--loss-balancer", default="none",
+                   choices=["none", "ema", "uncertainty"],
+                   help="adaptive loss balancing: ema = EMAWeights "
+                        "ratio-to-average normalization (CG_HQPINN_"
+                        "IBMtest_16qubits.py:408-423); uncertainty = "
+                        "trainable homoscedastic log-variances replacing "
+                        "the static weights (si_q_pinn_improved.py:"
+                        "143-164). Requires --gradient-mode backprop")
     t.add_argument("--noise-depolarizing", type=float, default=0.0)
     t.add_argument("--noise-readout", type=float, default=0.0)
+    t.add_argument("--noise-per-gate", type=float, default=0.0,
+                   help="depth-aware depolarizing rate applied per gate "
+                        "per touched wire: <Z_w> damps by (1-p)^(gate "
+                        "count on w), so error accumulates with circuit "
+                        "depth like the reference's FakeSherbrooke device "
+                        "noise (cg-hqpinn/...:183-196)")
     t.add_argument("--output-dir", default="runs")
     t.add_argument("--run-name", default=None)
     t.add_argument("--eval-grid", type=int, default=20)
@@ -132,11 +146,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--physics-ramp", type=int, default=400)
     c.add_argument("--log-every", type=int, default=10)
     c.add_argument("--physics-normalize", default="reference",
-                   choices=["reference", "balanced"],
+                   choices=["reference", "balanced", "coupled"],
                    help="'reference' = the EMAWeights ratio-to-average "
                         "scheme (collapses the data fit when raw residuals "
                         "dwarf the data loss); 'balanced' = scale physics "
-                        "to the data-loss magnitude via absolute EMAs")
+                        "to the data-loss magnitude via absolute EMAs; "
+                        "'coupled' = trainable CoupledAdaptiveWeighting "
+                        "(modified_qpinn_cg.py:142-156, see "
+                        "--coupled-ratio)")
+    c.add_argument("--coupled-ratio", type=float, default=100.0,
+                   help="data:physics noise-scale ratio for "
+                        "--physics-normalize coupled")
     c.add_argument("--field-weights", default=None,
                    help="comma-separated data-loss weights over "
                         "u_r,u_z,u_theta,p,T (normalized to mean 1); "
@@ -154,6 +174,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="noisy-simulator finetune (the reference's ibm-sim "
                         "phase with a FakeSherbrooke stand-in)")
     c.add_argument("--noise-readout", type=float, default=0.0)
+    c.add_argument("--noise-per-gate", type=float, default=0.0,
+                   help="depth-aware per-gate depolarizing for the "
+                        "finetune phase (see train --noise-per-gate)")
     c.add_argument("--seed", type=int, default=42)
     c.add_argument("--save-every", type=int, default=0)
     c.add_argument("--data-parallel", action="store_true",
@@ -213,8 +236,10 @@ def cmd_train(args) -> int:
         scheduler=args.scheduler,
         shots=args.shots,
         gradient_mode=args.gradient_mode,
+        loss_balancer=args.loss_balancer,
         noise_depolarizing=args.noise_depolarizing,
         noise_readout=args.noise_readout,
+        noise_per_gate=args.noise_per_gate,
         output_dir=args.output_dir,
         run_name=args.run_name,
     )
@@ -571,6 +596,7 @@ def cmd_cz(args) -> int:
         physics_warmup=args.physics_warmup,
         physics_ramp=args.physics_ramp,
         physics_normalize=args.physics_normalize,
+        coupled_ratio=args.coupled_ratio,
         log_every=args.log_every,
         finetune_epochs=args.epochs if args.phase == "finetune" else 100,
         shots=args.shots,
@@ -578,6 +604,7 @@ def cmd_cz(args) -> int:
         train_scope=args.train_scope,
         noise_depolarizing=getattr(args, "noise_depolarizing", 0.0),
         noise_readout=getattr(args, "noise_readout", 0.0),
+        noise_per_gate=getattr(args, "noise_per_gate", 0.0),
         field_weights=(
             tuple(float(v) for v in args.field_weights.split(","))
             if args.field_weights else None

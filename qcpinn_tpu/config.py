@@ -48,7 +48,11 @@ class QCPINNConfig:
     shots: Optional[int] = None
     noise_depolarizing: float = 0.0
     noise_readout: float = 0.0
+    # depth-aware per-gate depolarizing rate (ops/measure.py NoiseModel)
+    noise_per_gate: float = 0.0
     gradient_mode: str = "backprop"  # backprop | parameter-shift | spsa | spsa-split
+    # adaptive loss balancing (train/losses.py): none | ema | uncertainty
+    loss_balancer: str = "none"
 
     # bookkeeping
     run_name: Optional[str] = None
@@ -65,6 +69,8 @@ class QCPINNConfig:
             "backprop", "parameter-shift", "spsa", "spsa-split"
         ):
             raise ValueError(f"unknown gradient_mode {self.gradient_mode!r}")
+        if self.loss_balancer not in ("none", "ema", "uncertainty"):
+            raise ValueError(f"unknown loss_balancer {self.loss_balancer!r}")
 
     @property
     def effective_grad_clip(self) -> float:

@@ -60,6 +60,15 @@ class CrystalPINN:
         self.num_q_params = prog.num_params(self.program)
         assert self.num_q_params == 3 * n_qubits * n_layers
 
+    def gate_counts_per_wire(self):
+        """Per-wire gate touches for the depth-aware noise channel: RY
+        encode + the already-unrolled program's touches."""
+        counts = [1] * self.n
+        for op in self.program:
+            for w in op.wires:
+                counts[w] += 1
+        return tuple(counts)
+
     def init(self, key: jax.Array) -> dict:
         kb, kp, kq, ko = jax.random.split(key, 4)
         return {
@@ -81,6 +90,8 @@ class CrystalPINN:
         noise: Optional[measure.NoiseModel] = None,
     ) -> Array:
         """``[B, n] -> [B]`` global-parity expectation of the ansatz."""
+        if noise is not None:
+            noise = noise.bind(self)
         state = sv.zero_state(q_in.shape[0], self.n)
         state = sv.encode_angle(state, self.n, q_in)
         state = prog.apply_program(state, self.n, self.program, q_params)

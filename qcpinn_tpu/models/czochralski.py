@@ -115,6 +115,26 @@ class CzQuantumLayer:
             dtype=jnp.float32,
         )
 
+    def gate_counts_per_wire(self):
+        """Per-wire gate touches for the depth-aware noise channel
+        (ops/measure.py): RY encode, then per layer one reupload RZ + one
+        Rot per wire plus the even/odd CZ brickwork and ring closure
+        (CG_HQPINN_IBMtest_16qubits.py:217-235)."""
+        n = self.n
+        counts = [1] * n  # RY encode
+        cz_pairs = (
+            [(i, i + 1) for i in range(0, n - 1, 2)]
+            + [(i, i + 1) for i in range(1, n - 1, 2)]
+            + [(n - 1, 0)]
+        )
+        for _ in range(self.layers):
+            for w in range(n):
+                counts[w] += 2  # reupload RZ + Rot
+            for a, b in cz_pairs:
+                counts[a] += 1
+                counts[b] += 1
+        return tuple(counts)
+
     def apply(
         self,
         weights: Array,
@@ -130,6 +150,8 @@ class CzQuantumLayer:
         angles / per-wire reupload RZ angles — the per-occurrence shifts the
         parameter-shift input gradient needs (train/hardware_grad.py)."""
         n = self.n
+        if noise is not None:
+            noise = noise.bind(self)
         bits = jnp.asarray(bit_matrix(n))
         brick = jnp.asarray(_cz_brickwork_phases(n))
 

@@ -38,8 +38,13 @@ class DVSolver:
             seed=config.seed,
         )
         self.noise = None
-        if config.noise_depolarizing or config.noise_readout:
-            self.noise = NoiseModel(config.noise_depolarizing, config.noise_readout)
+        if (config.noise_depolarizing or config.noise_readout
+                or getattr(config, "noise_per_gate", 0.0)):
+            self.noise = NoiseModel(
+                config.noise_depolarizing,
+                config.noise_readout,
+                getattr(config, "noise_per_gate", 0.0),
+            )
         self._fused = None
 
     def use_pallas(self, interpret: bool = False, backend: str = "auto") -> "DVSolver":

@@ -76,12 +76,23 @@ def _env_precision():
 
 @dataclasses.dataclass(frozen=True)
 class Segment:
+    """One sequential step of the fused chain.
+
+    A 'blocks' segment may span several parameter layers (and the
+    epilogue) after chain-shortening: ``parts`` lists
+    (layer, hi_prog, lo_prog) sub-programs in application order whose
+    block unitaries are composed by small [K, K] matmuls before the one
+    big state einsum — hi ops and lo ops act on disjoint wire sets, so
+    composing each side independently preserves the unitary."""
+
     kind: str  # 'blocks' | 'diag' | 'op'
     layer: int  # parameter-layer index; -1 = epilogue (no params)
     hi_prog: Tuple[Op, ...] = ()
     lo_prog: Tuple[Op, ...] = ()
     run: Optional[DiagRun] = None
     op: Optional[Op] = None
+    # chain-shortened 'blocks': ((layer, hi_prog, lo_prog), ...)
+    parts: Tuple = ()
 
 
 def _remap(op: Op, shift: int) -> Op:
@@ -90,7 +101,17 @@ def _remap(op: Op, shift: int) -> Op:
     return Op(op.kind, tuple(w - shift for w in op.wires), op.pidx, op.const)
 
 
-def compile_segments(circuit: DVCircuit, hb: int) -> Tuple[Segment, ...]:
+def compile_segments(
+    circuit: DVCircuit, hb: int, split_local_diags: bool = False
+) -> Tuple[Segment, ...]:
+    """``split_local_diags`` (the chain-shortening front half): a DiagRun
+    whose phase separates across the hi/lo cut (diag_fusion.split_diag_run)
+    joins the surrounding block programs as per-block diagonal factors
+    instead of flushing them — e.g. cross_mesh's trailing RZ sweep stops
+    splitting the trailing RX blocks from the next layer's leading RX
+    blocks (and from the epilogue)."""
+    from .diag_fusion import split_diag_run
+
     n = circuit.n
     segs: List[Segment] = []
 
@@ -108,6 +129,14 @@ def compile_segments(circuit: DVCircuit, hb: int) -> Tuple[Segment, ...]:
 
         for op in program:
             if isinstance(op, DiagRun):
+                parts = split_diag_run(op, hb) if split_local_diags else None
+                if parts is not None:
+                    hi_run, lo_run = parts
+                    if hi_run is not None:
+                        cur_hi.append(hi_run)
+                    if lo_run is not None:
+                        cur_lo.append(lo_run)
+                    continue
                 flush()
                 segs.append(Segment("diag", layer, run=op))
             elif all(w < hb for w in op.wires):
@@ -123,6 +152,34 @@ def compile_segments(circuit: DVCircuit, hb: int) -> Tuple[Segment, ...]:
         walk(circuit.program, layer)
     walk(circuit.epilogue, -1)
     return tuple(segs)
+
+
+def merge_block_segments(segs: Tuple[Segment, ...]) -> Tuple[Segment, ...]:
+    """Chain-shortening pass: fuse ADJACENT 'blocks' segments (they arise
+    at layer and epilogue boundaries — e.g. cross_mesh's trailing RX/RZ
+    sweep, the next layer's leading RX/RZ sweep, and the Haar/H epilogue)
+    into ONE segment whose hi/lo unitaries are composed by [K, K] matmuls.
+    The step is latency-bound on the sequential segment chain (PARITY.md
+    round-4 roofline study), so every removed segment is a removed
+    full-state matmul in BOTH the forward and the backward sweep."""
+    out: List[Segment] = []
+    for seg in segs:
+        if (
+            seg.kind == "blocks"
+            and out
+            and out[-1].kind == "blocks"
+        ):
+            prev = out[-1]
+            prev_parts = prev.parts or (
+                (prev.layer, prev.hi_prog, prev.lo_prog),
+            )
+            cur_parts = seg.parts or ((seg.layer, seg.hi_prog, seg.lo_prog),)
+            out[-1] = Segment(
+                "blocks", prev.layer, parts=prev_parts + cur_parts
+            )
+        else:
+            out.append(seg)
+    return tuple(out)
 
 
 def _block_unitary(nbits: int, program: Tuple[Op, ...], layer_params):
@@ -146,6 +203,7 @@ class BlockFusedCircuit:
         hi_bits: Optional[int] = None,
         precision=None,
         remat: bool = False,
+        merge: bool = True,
     ):
         n = circuit.n
         if n < 2:
@@ -162,12 +220,50 @@ class BlockFusedCircuit:
         # at 20q the streams/encode buffers dominate instead, so the
         # practical 20q path is small batches (B=8 measured on-chip).
         self.remat = remat
-        self.segments = compile_segments(circuit, self.hb)
+        self.segments_raw = compile_segments(circuit, self.hb)
+        # chain-shortening (merge=True, the default), two passes: (1)
+        # block-separable DiagRuns join the block programs as per-block
+        # diagonal factors instead of standing as full-state elementwise
+        # segments; (2) now-adjacent 'blocks' segments at layer/epilogue
+        # boundaries compose into one big-state einsum pair. Fewer
+        # sequential full-state ops on a latency-bound step. merge=False
+        # keeps the one-segment-per-boundary chain (the round-2..4
+        # recorded behavior) for A/B, parity pinning, and the Pallas
+        # kernel plan (block_pallas.py).
+        self.segments = (
+            merge_block_segments(
+                compile_segments(circuit, self.hb, split_local_diags=True)
+            )
+            if merge
+            else self.segments_raw
+        )
         # Sharding hook: the GSPMD-sharded wrapper (parallel/sharded_block.py)
         # re-pins the [B, H, L] state's layout after every segment so XLA
         # keeps the H axis on the mesh instead of inventing its own layout
         # mid-chain. Identity for the single-device engine.
         self._constrain = lambda s: s
+
+    def segment_stats(self) -> dict:
+        """Sequential-chain accounting (the latency-bound step's true cost
+        metric, PARITY.md round-4 roofline study): counts of full-state
+        ops per evolve, before and after chain-shortening."""
+
+        def count(segs):
+            matmuls = sum(
+                (
+                    (1 if any(p[1] for p in (seg.parts or ((seg.layer, seg.hi_prog, seg.lo_prog),))) else 0)
+                    + (1 if any(p[2] for p in (seg.parts or ((seg.layer, seg.hi_prog, seg.lo_prog),))) else 0)
+                )
+                for seg in segs if seg.kind == "blocks"
+            )
+            return {
+                "segments": len(segs),
+                "state_matmuls": matmuls,
+                "diags": sum(1 for s in segs if s.kind == "diag"),
+                "cross_ops": sum(1 for s in segs if s.kind == "op"),
+            }
+
+        return {"raw": count(self.segments_raw), "merged": count(self.segments)}
 
     def evolve(self, params, state):
         if self.remat:
@@ -187,11 +283,26 @@ class BlockFusedCircuit:
         for seg in self.segments:
             lp = p2[seg.layer] if seg.layer >= 0 else no_params
             if seg.kind == "blocks":
-                if seg.hi_prog:
-                    mh = _block_unitary(self.hb, seg.hi_prog, lp)
+                parts = seg.parts or ((seg.layer, seg.hi_prog, seg.lo_prog),)
+                mh = ml = None
+                for part_layer, hi_prog, lo_prog in parts:
+                    pp = p2[part_layer] if part_layer >= 0 else no_params
+                    if hi_prog:
+                        m = _block_unitary(self.hb, hi_prog, pp)
+                        # state applies M as [in, out]: sequential parts
+                        # compose as M_first @ M_second ([K,K] matmuls —
+                        # negligible next to the [B*L, K] state einsum)
+                        mh = m if mh is None else jnp.matmul(
+                            mh, m, precision=HI
+                        )
+                    if lo_prog:
+                        m = _block_unitary(self.lb, lo_prog, pp)
+                        ml = m if ml is None else jnp.matmul(
+                            ml, m, precision=HI
+                        )
+                if mh is not None:
                     s = jnp.einsum("bkl,km->bml", s, mh, precision=self.precision)
-                if seg.lo_prog:
-                    ml = _block_unitary(self.lb, seg.lo_prog, lp)
+                if ml is not None:
                     s = jnp.einsum("bkl,lm->bkm", s, ml, precision=self.precision)
             elif seg.kind == "diag":
                 phi = seg.run.phases(lp)  # [2^n]
@@ -226,6 +337,8 @@ class BlockFusedCircuit:
     ):
         from . import measure
 
+        if noise is not None:
+            noise = noise.bind(self.circuit)
         state = self.state(params, x)
         if shots is None:
             return measure.exact_z(state, self.circuit.n, noise)

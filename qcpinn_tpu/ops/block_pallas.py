@@ -100,6 +100,11 @@ def build_plan(segments: Tuple[Segment, ...], n: int, hb: int) -> KPlan:
     diag_srcs: List[int] = []
     layout = ("hi", "lo")
     for si, seg in enumerate(segments):
+        if seg.parts:
+            raise ValueError(
+                "build_plan needs the unmerged segment chain; construct "
+                "the engine with merge=False"
+            )
         if seg.kind == "blocks":
             axes = []
             if seg.hi_prog:
@@ -446,7 +451,9 @@ class BlockPallasCircuit(BlockFusedCircuit):
 
     def __init__(self, circuit: DVCircuit, hi_bits: Optional[int] = None,
                  interpret: bool = False, remat: bool = False):
-        super().__init__(circuit, hi_bits=hi_bits, remat=remat)
+        # merge=False: the kernel plan walks per-segment hi/lo programs;
+        # chain-shortened segments (parts) are an XLA-engine optimization
+        super().__init__(circuit, hi_bits=hi_bits, remat=remat, merge=False)
         self.interpret = interpret
         self.plan = build_plan(self.segments, circuit.n, self.hb)
 
@@ -503,7 +510,7 @@ class BlockPallasCircuit(BlockFusedCircuit):
 def supports(circuit: DVCircuit, hi_bits: Optional[int] = None) -> bool:
     """True if the circuit's block decomposition has no boundary-straddling
     segments (i.e. BlockPallasCircuit can run it)."""
-    probe = BlockFusedCircuit(circuit, hi_bits=hi_bits)
+    probe = BlockFusedCircuit(circuit, hi_bits=hi_bits, merge=False)
     try:
         build_plan(probe.segments, circuit.n, probe.hb)
         return True

@@ -146,6 +146,8 @@ class DVCircuit:
         noise: Optional[measure.NoiseModel] = None,
     ) -> jnp.ndarray:
         """``[B, F] -> [B, n]`` per-wire Z expectations."""
+        if noise is not None:
+            noise = noise.bind(self)  # depth-aware gate counts (no-op otherwise)
         state = self.state(params, x)
         if shots is None:
             return measure.exact_z(state, self.n, noise)

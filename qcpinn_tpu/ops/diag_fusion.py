@@ -98,6 +98,49 @@ class DiagRun:
 FusedProgram = Tuple[Union[Op, DiagRun], ...]
 
 
+def split_diag_run(run: DiagRun, hb: int):
+    """Split a run into independent (hi, lo) runs across the hi/lo wire cut
+    (block_fused.py chain-shortening): possible iff no bilinear (CRZ) or
+    static CZ term crosses the boundary — the phase then separates as
+    phi[h, l] = phi_hi[h] + phi_lo[l], i.e. the diagonal factorizes into
+    exp(i phi_hi) (x) exp(i phi_lo) and each factor can be absorbed into
+    its block's unitary. Returns None when a term crosses (the run stays a
+    full-state elementwise segment). The parameter-linear global-phase
+    part (c1) rides the hi factor. Either side may come back None when it
+    is the identity."""
+    for c, t, _ in run.quad:
+        if (c < hb) != (t < hb):
+            return None
+    for a, b in run.const_pairs:
+        if (a < hb) != (b < hb):
+            return None
+    lb = run.n - hb
+    hi = DiagRun(
+        hb,
+        run.pidx,
+        run.w1[:, :hb],
+        run.c1,
+        tuple(q for q in run.quad if q[0] < hb),
+        tuple(p for p in run.const_pairs if p[0] < hb),
+    )
+    lo = DiagRun(
+        lb,
+        run.pidx,
+        run.w1[:, hb:],
+        np.zeros_like(run.c1),
+        tuple((c - hb, t - hb, k) for c, t, k in run.quad if c >= hb),
+        tuple((a - hb, b - hb) for a, b in run.const_pairs if a >= hb),
+    )
+
+    def trivial(r: DiagRun) -> bool:
+        return (
+            not r.quad and not r.const_pairs
+            and not np.any(r.w1) and not np.any(r.c1)
+        )
+
+    return (None if trivial(hi) else hi), (None if trivial(lo) else lo)
+
+
 def _make_run(n: int, ops: List[Op]) -> DiagRun:
     pidx: List[int] = []
     lin_rows: List[np.ndarray] = []

@@ -702,6 +702,8 @@ class LoopFusedCircuit:
     ):
         from . import measure
 
+        if noise is not None:
+            noise = noise.bind(self.circuit)
         state = self.state(params, x)
         if shots is None:
             return measure.exact_z(state, self.circuit.n, noise)

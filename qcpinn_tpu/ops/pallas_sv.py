@@ -603,6 +603,8 @@ class FusedCircuit:
     ):
         from . import measure, statevector as sv
 
+        if noise is not None:
+            noise = noise.bind(self.circuit)
         b = x.shape[0]
         d = 1 << self.circuit.n
         if self._amplitude:

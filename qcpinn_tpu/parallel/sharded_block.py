@@ -130,6 +130,8 @@ class ShardedBlockCircuit:
     ) -> jnp.ndarray:
         from ..ops import measure
 
+        if noise is not None:
+            noise = noise.bind(self.circuit)
         state = self.state(params, x)
         if shots is None:
             z = measure.exact_z(state, self.circuit.n, noise)

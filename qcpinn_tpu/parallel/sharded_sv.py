@@ -374,7 +374,7 @@ class ShardedCircuit:
         # same estimator as the single-device engine (ops/measure.py), so
         # sharded shots/noise match unsharded bitwise for a shared key
         if noise is not None:
-            z = noise.apply(z)
+            z = noise.bind(self.circuit).apply(z)
         if shots is not None:
             if key is None:
                 raise ValueError("shots mode needs a PRNG key")

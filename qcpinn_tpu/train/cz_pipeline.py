@@ -75,6 +75,9 @@ class CzConfig:
     # --phase ibm-sim, cg-hqpinn/CG_HQPINN_IBMtest_16q_effective.py:183-196)
     noise_depolarizing: float = 0.0
     noise_readout: float = 0.0
+    # depth-aware per-gate depolarizing (ops/measure.py): error grows
+    # with reupload-layer count like the reference's FakeSherbrooke
+    noise_per_gate: float = 0.0
     # 'fwd' = forward-mode residuals (fast; the Cz model is point-decoupled);
     # 'rev' = torch-equivalent reverse mode
     physics_mode: str = "fwd"
@@ -93,7 +96,15 @@ class CzConfig:
     #     EMAs: scaled = w * phys_total * sg(ema_data / ema_phys), so
     #     physics always contributes ~w of the data-loss magnitude and can
     #     regularize but never crush the fit.
+    #   'coupled' — the reference prototype's CoupledAdaptiveWeighting
+    #     (modified_qpinn_cg.py:142-156): a TRAINABLE data-noise scale
+    #     eps_d with physics pinned at eps_p = eps_d*sqrt(coupled_ratio),
+    #     total = l_data/(2 eps_d^2) + l_phys/(2 eps_p^2) + log(eps_d eps_p).
+    #     The warmup/ramp still gates the physics term; physics_weight is
+    #     unused (the learned eps plays that role). The balancer leaf
+    #     ('loss_bal') is a training artifact, stripped from checkpoints.
     physics_normalize: str = "reference"
+    coupled_ratio: float = 100.0
     # rematerialize the circuit in reverse mode: None = auto (on for
     # batch > 256, where unremat per-gate intermediates exceed one v5e's
     # HBM; off below — measured 32% faster when it fits)
@@ -226,13 +237,24 @@ def make_pretrain_epoch(
             cfg.ema_beta * ema["abs_phys"]
             + (1.0 - cfg.ema_beta) * jax.lax.stop_gradient(phys_total)
         )
-        if cfg.physics_normalize == "balanced":
+        if cfg.physics_normalize == "coupled":
+            from ..models.si_gated import coupled_weighting_apply
+
+            # ramp in [0, 1] gates the physics term exactly as the other
+            # modes' warmup does; the magnitudes come from the learned eps
+            ramp = phys_w / jnp.maximum(cfg.physics_weight, 1e-12)
+            total = coupled_weighting_apply(
+                params["loss_bal"], data_loss, phys_total * ramp,
+                target_ratio=cfg.coupled_ratio,
+            )
+        elif cfg.physics_normalize == "balanced":
             scale = new_ema["abs_data"] / jnp.maximum(new_ema["abs_phys"], 1e-30)
             scaled_phys = phys_w * phys_total * jax.lax.stop_gradient(scale)
+            total = data_loss + scaled_phys
         else:
             mean_phys_w = sum(new_ema[k] for k in PHYS_KEYS) / len(PHYS_KEYS)
             scaled_phys = phys_w * (phys_total / jnp.maximum(mean_phys_w, 1e-12))
-        total = data_loss + scaled_phys
+            total = data_loss + scaled_phys
         return total, (data_loss, phys_total, new_ema)
 
     @jax.jit
@@ -322,6 +344,12 @@ def run_pretrain(
     key = jax.random.PRNGKey(cfg.seed)
     if params is None:
         params = model.init(key)
+    if cfg.physics_normalize == "coupled" and "loss_bal" not in params:
+        from ..models.si_gated import coupled_weighting_init
+
+        params = {**params, "loss_bal": coupled_weighting_init()}
+        log(f"coupled adaptive weighting on (trainable eps_data, "
+            f"ratio {cfg.coupled_ratio}; modified_qpinn_cg.py:142-156)")
     optimizer, epoch_fn, n_batches = make_pretrain_epoch(
         model, X, Y, stats, cfg, mesh=mesh
     )
@@ -345,14 +373,22 @@ def run_pretrain(
                 f"lr={m['lr']:.2e} | elapsed={time.time()-t0:.1f}s"
             )
         if checkpoint_fn is not None and save_every and epoch % save_every == 0:
-            checkpoint_fn(params, epoch, history)
+            checkpoint_fn(_strip_balancer(params), epoch, history)
         if time_budget_s > 0 and time.time() - t0 > time_budget_s:
             log(
                 f"[PRETRAIN] time budget {time_budget_s:.0f}s reached at "
                 f"epoch {epoch}/{cfg.epochs} — stopping gracefully"
             )
             break
-    return params, history
+    return _strip_balancer(params), history
+
+
+def _strip_balancer(params: dict) -> dict:
+    """The coupled-weighting leaf is a training artifact, not a model
+    weight — keep checkpoints loadable against the model's own template."""
+    if "loss_bal" in params:
+        return {k: v for k, v in params.items() if k != "loss_bal"}
+    return params
 
 
 def run_finetune(
@@ -378,10 +414,12 @@ def run_finetune(
     yb = jnp.asarray(y_c)
 
     noise = None
-    if cfg.noise_depolarizing or cfg.noise_readout:
+    if cfg.noise_depolarizing or cfg.noise_readout or cfg.noise_per_gate:
         from ..ops.measure import NoiseModel
 
-        noise = NoiseModel(cfg.noise_depolarizing, cfg.noise_readout)
+        noise = NoiseModel(
+            cfg.noise_depolarizing, cfg.noise_readout, cfg.noise_per_gate
+        )
 
     q_apply = None
     if cfg.train_scope == "head":

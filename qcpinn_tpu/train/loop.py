@@ -82,8 +82,30 @@ def make_train_step(
     shots_apply: Optional[Callable] = None,
     quantum_keys: Tuple[str, ...] = ("q",),
     fuse_value_terms: bool = False,
+    balancer: str = "none",
 ):
     """Build (init_state, step_fn, scan_fn).
+
+    ``balancer`` selects the adaptive loss balancing (train/losses.py):
+
+    - ``"none"`` — static TermSpec weights (the reference's default
+      2/4/2, trainer/diffusion_train.py:47).
+    - ``"uncertainty"`` — homoscedastic AdaptiveMultiLoss
+      (si_q_pinn_improved.py:143-164): total = sum_k exp(-s_k) L_k + s_k
+      with one TRAINABLE log-variance per term living in
+      ``params["loss_log_vars"]`` (inject with
+      ``inject_balancer_params``). Replaces the static weights, as in
+      the reference.
+    - ``"ema"`` — EMAWeights normalized-magnitude balancing
+      (CG_HQPINN_IBMtest_16qubits.py:408-423): each term's static weight
+      is divided by the EMA of its ratio-to-average magnitude, so
+      persistently dominant terms are pulled toward the pack. The EMA
+      state lives in ``params["loss_ema"]`` (stop-gradient leaves,
+      overwritten each step by the update rule, checkpointed with the
+      params — inject with ``inject_balancer_params``).
+
+    Balancers require backprop mode (the SPSA modes perturb every leaf,
+    which would corrupt the EMA state / double-count log_vars).
 
     ``model_apply(params, X) -> [B, out]``; ``operator(apply, X) ->
     (u, residual)`` with ``apply`` already bound to params. When
@@ -117,6 +139,15 @@ def make_train_step(
     use_plateau = config.scheduler == "plateau"
     use_spsa = config.gradient_mode == "spsa"
     use_spsa_split = config.gradient_mode == "spsa-split"
+    if balancer not in ("none", "ema", "uncertainty"):
+        raise ValueError(
+            f"unknown balancer {balancer!r}; have none, ema, uncertainty"
+        )
+    if balancer != "none" and (use_spsa or use_spsa_split):
+        raise ValueError(
+            "adaptive balancers need gradient_mode='backprop' (SPSA "
+            "perturbs the balancer state leaves)"
+        )
     if use_spsa or use_spsa_split:
         from .spsa import SPSAConfig, spsa_split_step, spsa_step
 
@@ -173,8 +204,25 @@ def make_train_step(
                 b = batches[n][0].shape[0]
                 per_term[n] = L.mse(preds[ofs : ofs + b], batches[n][1])
                 ofs += b
+        if balancer == "uncertainty":
+            # sum exp(-s_k) L_k + s_k on the RAW term losses: the
+            # log-variances replace the static weights, as the reference's
+            # AdaptiveMultiLoss does (si_q_pinn_improved.py:143-164)
+            total = L.uncertainty_combine(params["loss_log_vars"], per_term)
+            return total, (per_term, None)
+        if balancer == "ema":
+            detached = {
+                k: jax.lax.stop_gradient(v) for k, v in per_term.items()
+            }
+            new_ema = L.ema_weights_update(params["loss_ema"], detached)
+            total = sum(
+                terms[n].weight * per_term[n]
+                / jnp.maximum(jax.lax.stop_gradient(new_ema[n]), 1e-8)
+                for n in names
+            )
+            return total, (per_term, new_ema)
         total = sum(terms[n].weight * per_term[n] for n in names)
-        return total, per_term
+        return total, (per_term, None)
 
     def step_fn(state_tuple, xs):
         params, opt_state, sched = state_tuple
@@ -190,7 +238,7 @@ def make_train_step(
             # per-term metrics ride the two SPSA evaluations (has_aux) —
             # no third loss evaluation; the step cost stays at SPSA's
             # 2-evals-per-step hardware budget
-            params, loss, per_term = spsa_step(
+            params, loss, (per_term, _) = spsa_step(
                 lambda p, kk: loss_fn(p, batches, kk),
                 params,
                 step_id.astype(jnp.float32) + 1.0,
@@ -204,7 +252,7 @@ def make_train_step(
                 lr_scale=sched.scale if use_plateau else 1.0,
             )
         elif use_spsa_split:
-            params, opt_state, loss, per_term = spsa_split_step(
+            params, opt_state, loss, (per_term, _) = spsa_split_step(
                 lambda p, kk: loss_fn(p, batches, kk),
                 params,
                 step_id.astype(jnp.float32) + 1.0,
@@ -217,13 +265,18 @@ def make_train_step(
                 lr_scale=sched.scale if use_plateau else 1.0,
             )
         else:
-            (loss, per_term), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batches, k_shot
-            )
+            (loss, (per_term, new_ema)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, batches, k_shot)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             if use_plateau:
                 updates = optim.scale_updates(updates, sched.scale)
             params = optax.apply_updates(params, updates)
+            if balancer == "ema":
+                # the EMA state is updated by its own rule, not by the
+                # optimizer (its gradient is zero by stop_gradient; the
+                # optax update above is overwritten here)
+                params = {**params, "loss_ema": new_ema}
         if use_plateau:
             sched = optim.plateau_update(
                 sched,
@@ -248,6 +301,17 @@ def make_train_step(
         return params, opt_state, sched, trace
 
     return step_fn, scan_steps
+
+
+def inject_balancer_params(params: dict, terms, balancer: str) -> dict:
+    """Add the balancer's state leaves to the params pytree (no-op for
+    'none' or when already present, e.g. on resume): trainable
+    log-variances for 'uncertainty', stop-gradient EMA state for 'ema'."""
+    if balancer == "uncertainty" and "loss_log_vars" not in params:
+        return {**params, "loss_log_vars": L.uncertainty_init(terms.keys())}
+    if balancer == "ema" and "loss_ema" not in params:
+        return {**params, "loss_ema": L.ema_weights_init(terms.keys())}
+    return params
 
 
 def make_val_fn(model_apply: Callable, X_val, y_val) -> Callable:
@@ -286,9 +350,19 @@ def train(
     """
     import os as _os
 
+    def log(msg):
+        if logger is not None:
+            logger.print(msg)
+
     key = jax.random.PRNGKey(config.seed)
     k_init, k_train = jax.random.split(key)
     params = model.init(k_init)
+    balancer = getattr(config, "loss_balancer", "none")
+    params = inject_balancer_params(params, terms, balancer)
+    if balancer != "none":
+        log(f"adaptive loss balancer: {balancer} (train/losses.py; "
+            "uncertainty replaces the static term weights, ema divides "
+            "them by each term's EMA ratio-to-average)")
 
     optimizer = optim.make_optimizer(
         config.lr,
@@ -316,7 +390,7 @@ def train(
     sched = optim.plateau_init()
     start_step = 0
     if resume is not None:
-        params = resume["params"]
+        params = inject_balancer_params(resume["params"], terms, balancer)
         if resume.get("opt_state") is not None:
             opt_state = jax.tree_util.tree_unflatten(
                 jax.tree_util.tree_structure(opt_state),
@@ -329,10 +403,6 @@ def train(
     profile_dir = _os.environ.get("QCPINN_PROFILE_DIR")
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
-
-    def log(msg):
-        if logger is not None:
-            logger.print(msg)
 
     # hardware-fidelity gradient modes (readme.md:166-171): simulator =
     # backprop on analytic expectations; hardware = parameter-shift on
@@ -381,6 +451,7 @@ def train(
         model.apply, operator, terms, optimizer, config, mesh=mesh,
         shots_apply=shots_apply, quantum_keys=quantum_keys,
         fuse_value_terms=not getattr(model, "batch_coupled", False),
+        balancer=balancer,
     )
 
     loss_history = []

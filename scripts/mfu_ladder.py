@@ -53,6 +53,12 @@ def measure(n_qubits: int, batch: int, n_steps: int = 30) -> dict:
         "points_per_sec": round(batch / dt, 1),
     }
     rec.update(bench.roofline(compiled, n_steps, dt))
+    # sequential-chain accounting (round-4 VERDICT #5): full-state ops per
+    # evolve, before/after chain-shortening — the latency-bound step's
+    # true cost metric
+    fused = getattr(getattr(bench, "_last_model", None), "_fused", None)
+    if fused is not None and hasattr(fused, "segment_stats"):
+        rec["segment_stats"] = fused.segment_stats()
     return rec
 
 

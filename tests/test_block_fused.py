@@ -153,3 +153,51 @@ def test_precision_knob_env_and_override(monkeypatch):
     np.testing.assert_allclose(
         bf_env.apply(params, x), bf_arg.apply(params, x), atol=2e-3
     )
+
+
+def test_chain_shortening_parity_and_stats():
+    """merge=True composes adjacent 'blocks' segments across layer and
+    epilogue boundaries by small [K,K] matmuls — values and gradients must
+    match the unmerged chain, with strictly fewer full-state matmuls
+    (round-4 VERDICT #5: the one structural lever of the latency-bound
+    step)."""
+    for name, layers in (("cross_mesh", 1), ("cross_mesh", 3),
+                         ("layered", 2), ("rot_ring", 3)):
+        circuit = DVCircuit(4, layers, name, seed=11)
+        merged = BlockFusedCircuit(circuit, merge=True)
+        plain = BlockFusedCircuit(circuit, merge=False)
+        stats = merged.segment_stats()
+        assert stats["merged"]["segments"] <= stats["raw"]["segments"]
+
+        def total(s):
+            return s["state_matmuls"] + s["diags"] + s["cross_ops"]
+
+        assert total(stats["merged"]) <= total(stats["raw"])
+        if name in ("cross_mesh", "layered"):
+            # diag-separated block boundaries exist -> must shorten
+            assert total(stats["merged"]) < total(stats["raw"]), (
+                name, layers, stats)
+        params = circuit.init_params(jax.random.PRNGKey(0)).reshape(-1)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (4, 4),
+                               minval=-1.0, maxval=1.0)
+        np.testing.assert_allclose(
+            merged.apply(params, x), plain.apply(params, x), atol=2e-6
+        )
+        g1 = jax.jit(jax.grad(lambda p: jnp.sum(merged.apply(p, x) ** 2)))(params)
+        g2 = jax.jit(jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2)))(params)
+        np.testing.assert_allclose(g1, g2, atol=2e-5)
+
+
+def test_chain_shortening_16q_counts():
+    """The flagship shape: 16q cross_mesh, 1 layer — publish-grade counts.
+    Raw chain: blocks(RX), diag(RZ+CRZ mesh), blocks(RX), diag(RZ sweep),
+    epilogue blocks(Haar hi + H lo) = 6 state matmuls + 2 diags = 8
+    sequential full-state ops. Merged: the trailing RZ sweep separates
+    into per-block diagonal factors, unlocking the blocks+epilogue merge
+    -> 4 state matmuls + 1 diag = 5 ops (37.5% shorter chain)."""
+    circuit = DVCircuit(16, 1, "cross_mesh", seed=42)
+    bf = BlockFusedCircuit(circuit)
+    s = bf.segment_stats()
+    assert s["raw"]["state_matmuls"] == 6 and s["raw"]["diags"] == 2
+    assert s["merged"]["state_matmuls"] == 4 and s["merged"]["diags"] == 1
+    assert s["merged"]["cross_ops"] == s["raw"]["cross_ops"] == 0

@@ -589,3 +589,32 @@ def test_pretrain_time_budget_stops_gracefully(rng, capsys):
     assert len(history) == 1  # stopped right after the first epoch
     assert np.isfinite(history).all()
     assert "stopping gracefully" in capsys.readouterr().out
+
+
+def test_pretrain_coupled_adaptive_weighting(rng):
+    """physics_normalize='coupled' (modified_qpinn_cg.py:142-156): the
+    trainable eps_data leaf is injected, trained, and STRIPPED from the
+    returned params so checkpoints stay loadable against the model's own
+    template; the loss trajectory differs from 'balanced' on the same
+    stream."""
+    model = _small_model()
+    N = 48
+    X = rng.uniform(0.05, 1, (N, 2)).astype(np.float32)
+    Y = rng.uniform(-0.5, 0.5, (N, 5)).astype(np.float32)
+    stats = DataStats(1, 1, 1, 0, 1, 1.0)
+
+    def cfg(mode):
+        return CzConfig(
+            n_qubits=4, n_layers=1, epochs=3, batch_size=16, lr=1e-3,
+            physics_warmup=0, physics_ramp=1, log_every=10, seed=0,
+            physics_normalize=mode, coupled_ratio=50.0,
+        )
+
+    p_c, h_c = run_pretrain(model, X, Y, stats, cfg("coupled"))
+    assert "loss_bal" not in p_c  # stripped: a training artifact
+    assert np.all(np.isfinite(h_c))
+    tmpl = set(model.init(jax.random.PRNGKey(0)).keys())
+    assert set(p_c.keys()) == tmpl
+
+    p_b, h_b = run_pretrain(model, X, Y, stats, cfg("balanced"))
+    assert not np.allclose(h_c, h_b)

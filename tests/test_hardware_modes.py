@@ -175,6 +175,94 @@ def test_noise_model_shrinks_expectations(rng):
     np.testing.assert_allclose(noisy, clean * 0.9 * 0.96, atol=1e-6)
 
 
+def test_per_gate_noise_exact_factors_and_depth_growth(rng):
+    """Depth-aware channel: <Z_w> damps by exactly (1-p)^c_w with c_w the
+    circuit's static per-wire gate-touch count, so a deeper circuit is
+    damped strictly more (the FakeSherbrooke capability the scalar model
+    lacked, cg-hqpinn/...:183-196)."""
+    from qcpinn_tpu.ops.measure import gate_counts_per_wire
+
+    x = jnp.asarray(rng.uniform(-1, 1, (3, 3)).astype(np.float32))
+    p = 0.01
+    ratios = {}
+    for layers in (1, 3):
+        circ = DVCircuit(3, layers, "cascade")
+        params = circ.init_params(jax.random.PRNGKey(0))
+        clean = np.asarray(circ.apply(params, x))
+        noisy = np.asarray(circ.apply(params, x, noise=NoiseModel(per_gate=p)))
+        counts = np.asarray(gate_counts_per_wire(circ), dtype=np.float64)
+        # cascade n=3: per layer every wire gets RX+RZ+2 CRX touches = 4;
+        # encode adds 1; epilogue H adds 1 on the last wire (no Haar at n=3)
+        expect_counts = np.array([1, 1, 2]) + 4 * layers
+        np.testing.assert_array_equal(counts, expect_counts)
+        np.testing.assert_allclose(
+            noisy, clean * (1.0 - p) ** counts, atol=1e-6
+        )
+        ratios[layers] = (1.0 - p) ** counts
+    assert np.all(ratios[3] < ratios[1])  # strictly more damping when deeper
+
+
+def test_per_gate_noise_needs_binding_and_binds_in_engines(rng):
+    """An unbound per-gate NoiseModel raises; every engine binds at its
+    measurement site so the block backend matches the XLA backend under
+    the same depth-aware channel."""
+    from qcpinn_tpu.ops.block_fused import BlockFusedCircuit
+
+    noise = NoiseModel(per_gate=0.02)
+    with pytest.raises(ValueError, match="gate counts"):
+        noise.apply(jnp.ones((2, 3)))
+
+    circ = DVCircuit(4, 2, "layered", seed=9)
+    params = circ.init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.uniform(-1, 1, (3, 4)).astype(np.float32))
+    z_xla = np.asarray(circ.apply(params, x, noise=noise))
+    z_blk = np.asarray(
+        BlockFusedCircuit(circ).apply(params.reshape(-1), x, noise=noise)
+    )
+    np.testing.assert_allclose(z_blk, z_xla, atol=2e-5)
+    # depth-1 parity: per_gate=0 reduces exactly to the scalar model
+    legacy = NoiseModel(depolarizing=0.1, readout=0.02, per_gate=0.0)
+    np.testing.assert_allclose(
+        np.asarray(circ.apply(params, x, noise=legacy)),
+        np.asarray(circ.apply(params, x)) * 0.9 * 0.96,
+        atol=1e-6,
+    )
+
+
+def test_per_gate_noise_global_parity_product(rng):
+    """The crystal pipeline's global <Z..Z> damps by the product of the
+    per-wire factors (each tensor factor contracts independently)."""
+    from qcpinn_tpu.models.crystal import CrystalPINN
+
+    m = CrystalPINN(n_qubits=3, n_layers=2)
+    params = m.init(jax.random.PRNGKey(0))
+    q_in = jnp.asarray(rng.uniform(-1, 1, (4, 3)).astype(np.float32))
+    clean = np.asarray(m.quantum_scalar(params["q"], q_in))
+    p = 0.01
+    noisy = np.asarray(
+        m.quantum_scalar(params["q"], q_in, noise=NoiseModel(per_gate=p))
+    )
+    counts = np.asarray(m.gate_counts_per_wire(), dtype=np.float64)
+    # RX,RY,RZ per wire per layer + CNOT chain touches + encode
+    np.testing.assert_array_equal(counts, [1 + 2 * 4, 1 + 2 * 5, 1 + 2 * 4])
+    np.testing.assert_allclose(
+        noisy, clean * (1.0 - p) ** counts.sum(), atol=1e-6
+    )
+
+
+def test_per_gate_noise_reupload_layer_counts():
+    """CzQuantumLayer's bespoke counter: counts grow linearly with the
+    reupload layer count (the depth-awareness the VERDICT asked for)."""
+    from qcpinn_tpu.models.czochralski import CzQuantumLayer
+
+    c1 = np.asarray(CzQuantumLayer(8, 1).gate_counts_per_wire())
+    c3 = np.asarray(CzQuantumLayer(8, 3).gate_counts_per_wire())
+    assert np.all(c3 > c1)
+    # each wire: encode(1) + L*(RZ+Rot+2 CZ touches) = 1 + 4L at n=8
+    np.testing.assert_array_equal(c1, np.full(8, 5))
+    np.testing.assert_array_equal(c3, np.full(8, 13))
+
+
 def _toy_problem():
     circ = DVCircuit(2, 3, "cascade")
     import qcpinn_tpu.models.nn_core as nc

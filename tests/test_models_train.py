@@ -311,3 +311,71 @@ def test_fused_value_terms_match_unfused():
     # loose while the LOSS trajectory above stays tight
     for a, b in zip(jax.tree.leaves(trajs[0][1]), jax.tree.leaves(trajs[1][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_loss_balancers_change_trajectory_and_train_their_state():
+    """--loss-balancer wiring (round-4 VERDICT #4): uncertainty trains its
+    log-variances, ema maintains ratio-to-average EMA state, and both
+    produce a loss trajectory different from static weights on the same
+    PRNG stream."""
+    import optax
+    import pytest
+
+    from qcpinn_tpu.train import inject_balancer_params
+    from qcpinn_tpu.train.loop import make_train_step
+    from qcpinn_tpu.train import optim as _optim
+
+    cfg = QCPINNConfig(
+        num_qubits=2, classic_network=(3, 10, 1), q_ansatz="cascade",
+        epochs=6, batch_size=12, lr=5e-3, print_every=6, seed=0,
+    )
+    model = DVSolver(cfg)
+    base_params = model.init(jax.random.PRNGKey(0))
+    terms = diffusion_terms(
+        gaussian_pulse_samplers(), cfg.batch_size, cfg.loss_weights
+    )
+    opt = _optim.make_optimizer(cfg.lr)
+
+    results = {}
+    for bal in ("none", "ema", "uncertainty"):
+        params = inject_balancer_params(dict(base_params), terms, bal)
+        _, scan_steps = make_train_step(
+            model.apply, diffusion_operator, terms, opt, cfg, balancer=bal,
+        )
+        p, _, _, trace = scan_steps(
+            params, opt.init(params), _optim.plateau_init(),
+            jax.random.PRNGKey(7), 0, 6,
+        )
+        results[bal] = (np.asarray(trace["loss"]), p)
+
+    # per-term MSEs are identical up to the balancer's parameter updates;
+    # the TOTAL trajectories must differ from static weighting
+    for bal in ("ema", "uncertainty"):
+        assert not np.allclose(results[bal][0], results["none"][0]), bal
+        assert np.all(np.isfinite(results[bal][0]))
+
+    # uncertainty: the log-variances are trainable leaves and moved
+    lv = results["uncertainty"][1]["loss_log_vars"]
+    assert set(lv) == set(terms)
+    assert any(abs(float(v)) > 1e-6 for v in jax.tree_util.tree_leaves(lv))
+
+    # ema: state left the init value 1.0 and tracks ratio-to-average
+    # (strictly positive, mean near 1 after a few steps)
+    ema = results["ema"][1]["loss_ema"]
+    vals = np.array([float(ema[k]) for k in terms])
+    assert not np.allclose(vals, 1.0)
+    assert np.all(vals > 0)
+
+    # balancers are backprop-only
+    cfg_spsa = QCPINNConfig(
+        num_qubits=2, classic_network=(3, 10, 1), gradient_mode="spsa",
+        epochs=2, batch_size=8, lr=5e-3, print_every=2,
+    )
+    with pytest.raises(ValueError, match="backprop"):
+        make_train_step(
+            model.apply, diffusion_operator, terms, opt, cfg_spsa,
+            balancer="ema",
+        )
+    with pytest.raises(ValueError, match="loss_balancer"):
+        QCPINNConfig(num_qubits=2, classic_network=(3, 10, 1),
+                     loss_balancer="bogus")
