@@ -344,6 +344,17 @@ def run_pretrain(
     key = jax.random.PRNGKey(cfg.seed)
     if params is None:
         params = model.init(key)
+    if cfg.physics_normalize == "balanced" and cfg.physics_warmup < 1:
+        # the balanced scale sg(ema_data/ema_phys) starts at its cold init
+        # 1.0 and needs ~1/(1-beta) steps to converge; engaging physics
+        # before that multiplies raw ~1e10 residuals into the loss and can
+        # destroy a warm-started fit in the first few steps (measured:
+        # warm wide384 + warmup 0 regressed u_r 7.7% -> 14.9%)
+        log(
+            "WARNING: physics_normalize='balanced' with physics_warmup=0 "
+            "applies physics while the magnitude EMAs are still at their "
+            "cold init — use physics_warmup >= 1 so they converge first"
+        )
     if cfg.physics_normalize == "coupled" and "loss_bal" not in params:
         from ..models.si_gated import coupled_weighting_init
 

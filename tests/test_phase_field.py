@@ -190,3 +190,54 @@ def test_crystal_pipeline_warmup_and_split():
     assert float(
         jnp.max(jnp.abs(params["backbone"][0]["w"] - p0["backbone"][0]["w"]))
     ) > 0
+
+
+def test_si_chain_circuit_matches_dense_oracle():
+    """SIChainCircuit (si_q_pinn_improved.py:277-287) vs a from-scratch
+    dense oracle: RY(x[i%4]) reupload per layer, RX/RZ weight sweeps
+    (layer-major, qubit-minor, RX-then-RZ), open CZ chain, <Z_i> readout."""
+    import jax
+    import numpy as np
+
+    from oracle_dense import CNOT, DenseSim, controlled, rx, ry, rz
+    from qcpinn_tpu.models.si_gated import SIChainCircuit
+
+    CZ4 = np.diag([1.0, 1.0, 1.0, -1.0]).astype(np.complex128)
+    rng = np.random.default_rng(3)
+    for n, layers in ((4, 1), (6, 2), (5, 3)):
+        circ = SIChainCircuit(n, layers)
+        assert circ.num_params == 2 * n * layers
+        w = np.asarray(
+            jax.device_get(circ.init(jax.random.PRNGKey(0))), dtype=np.float64
+        )
+        x = rng.uniform(-np.pi, np.pi, (3, 4)).astype(np.float32)
+        got = np.asarray(jax.jit(circ.apply)(w.astype(np.float32), x))
+
+        w2 = w.reshape(layers, n, 2)
+        want = []
+        for b in range(3):
+            sim = DenseSim(n)
+            for l in range(layers):
+                for i in range(n):
+                    sim.g1(ry(float(x[b, i % 4])), i)
+                for i in range(n):
+                    sim.g1(rx(w2[l, i, 0]), i)
+                    sim.g1(rz(w2[l, i, 1]), i)
+                for i in range(n - 1):
+                    sim.g2(CZ4, i, i + 1)
+            want.append(sim.expval_z())
+        np.testing.assert_allclose(got, np.stack(want), atol=5e-6)
+
+    # depth-aware noise integration: counts grow with layers
+    c1 = np.asarray(SIChainCircuit(5, 1).gate_counts_per_wire())
+    c3 = np.asarray(SIChainCircuit(5, 3).gate_counts_per_wire())
+    np.testing.assert_array_equal(c3, 3 * c1)
+    from qcpinn_tpu.ops.measure import NoiseModel
+
+    circ = SIChainCircuit(4, 2)
+    w = circ.init(jax.random.PRNGKey(1))
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 4)).astype(np.float32))
+    clean = np.asarray(circ.apply(w, x))
+    noisy = np.asarray(circ.apply(w, x, noise=NoiseModel(per_gate=0.01)))
+    counts = np.asarray(circ.gate_counts_per_wire(), dtype=np.float64)
+    np.testing.assert_allclose(noisy, clean * 0.99**counts, atol=1e-6)
