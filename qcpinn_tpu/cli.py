@@ -404,7 +404,7 @@ def cmd_train(args) -> int:
     logger.print(f"checkpoint: {ckpt}")
 
     metrics = {}
-    if args.problem in ("diffusion", "diffusion_sine", "navier_stokes"):
+    if analytic_u is not None:
         import numpy as _np
 
         hi = _np.array([1.0, _np.pi, _np.pi]) if args.problem == "navier_stokes" else None
@@ -414,6 +414,7 @@ def cmd_train(args) -> int:
             operator=operator if analytic_r is not None else None,
             num=args.eval_grid,
             hi=hi,
+            dims=in_dims[args.problem],
         )
         for k, v in metrics.items():
             logger.print(f"{k}: {v:.4f}")
@@ -441,7 +442,8 @@ def cmd_train(args) -> int:
             from .utils.plotting import draw_contourf_grid, plot_loss_history
 
             plot_loss_history(history, logger.get_output_dir())
-            if args.problem != "navier_stokes":  # contour grid is scalar-u
+            # the contour grid is the scalar-u (t, x, y) layout
+            if args.problem in ("diffusion", "diffusion_sine"):
                 draw_contourf_grid(model.apply, params, analytic_u,
                                    logger.get_output_dir(), per_timestep=True)
             logger.print("plots written")

@@ -34,13 +34,16 @@ def evaluate_relative_l2(
     batch: int = 4096,
     lo=None,
     hi=None,
+    dims: int = 3,
 ) -> Dict[str, float]:
     """Relative L2 (%) of u (and optionally of the PDE residual vs analytic
-    forcing) on a num^3 grid, mirroring diffusion_hybrid_trainer.py:161-184."""
+    forcing) on a num^dims grid, mirroring diffusion_hybrid_trainer.py:161-184
+    (dims=2 for the (t, x) / (x1, x2) problems: wave, Klein-Gordon,
+    Helmholtz)."""
     # jit everything: eager (op-by-op) execution is not supported on the
     # experimental axon TPU platform
     apply_j = jax.jit(model_apply)
-    pts = meshgrid_points(num, lo=lo, hi=hi)
+    pts = meshgrid_points(num, dims=dims, lo=lo, hi=hi)
     preds = []
     for i in range(0, len(pts), batch):
         chunk = jnp.asarray(pts[i : i + batch])
