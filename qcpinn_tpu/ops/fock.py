@@ -29,24 +29,36 @@ state contraction.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy.linalg import expm
 
+# Engine precision. complex64 matches the qubit engine; QCPINN_FOCK_DTYPE=
+# complex128 switches the whole CV path to double (requires jax_enable_x64).
+# The CV gates are built by expm of a truncated generator, and expm's
+# *gradient* in float32 carries ~1e-2 relative noise (measured:
+# scripts/cv_gradcheck.py) — double precision is how the trainability
+# diagnosis separates gradient noise from landscape pathology.
 CDTYPE = jnp.complex64
+FDTYPE = jnp.float32
+if os.environ.get("QCPINN_FOCK_DTYPE") == "complex128":
+    CDTYPE = jnp.complex128
+    FDTYPE = jnp.float64
 
 
 @functools.lru_cache(maxsize=32)
 def lowering(d: int) -> np.ndarray:
     """Truncated annihilation operator a: a[m, n] = sqrt(n) delta_{m, n-1}."""
-    return np.diag(np.sqrt(np.arange(1, d, dtype=np.float64)), 1).astype(np.complex64)
+    return np.diag(np.sqrt(np.arange(1, d, dtype=np.float64)), 1).astype(
+        np.dtype(CDTYPE))
 
 
 @functools.lru_cache(maxsize=32)
 def number_diag(d: int) -> np.ndarray:
-    return np.arange(d, dtype=np.float32)
+    return np.arange(d, dtype=np.dtype(FDTYPE))
 
 
 def displacement(r, phi, d: int) -> jnp.ndarray:
