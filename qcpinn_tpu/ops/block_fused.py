@@ -33,6 +33,7 @@ back to single elementwise ops on the flat state.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -203,7 +204,7 @@ class BlockFusedCircuit:
         hi_bits: Optional[int] = None,
         precision=None,
         remat: bool = False,
-        merge: bool = True,
+        merge: Optional[bool] = None,
     ):
         n = circuit.n
         if n < 2:
@@ -220,6 +221,11 @@ class BlockFusedCircuit:
         # at 20q the streams/encode buffers dominate instead, so the
         # practical 20q path is small batches (B=8 measured on-chip).
         self.remat = remat
+        if merge is None:
+            # on-chip A/B knob (scripts/mfu_ladder.py --merge-ab): the
+            # merged chain is the default; QCPINN_BLOCK_MERGE=0 restores
+            # the round-2..4 one-segment-per-boundary chain
+            merge = os.environ.get("QCPINN_BLOCK_MERGE", "1") != "0"
         self.segments_raw = compile_segments(circuit, self.hb)
         # chain-shortening (merge=True, the default), two passes: (1)
         # block-separable DiagRuns join the block programs as per-block

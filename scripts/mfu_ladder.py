@@ -68,6 +68,11 @@ def main():
     ap.add_argument("--batch", default="1024,256",
                     help="per-qubit-count batch sizes (parallel list)")
     ap.add_argument("--out", default="artifacts/mfu_ladder.json")
+    ap.add_argument("--merge-ab", action="store_true",
+                    help="measure each row twice: chain-shortening merge "
+                         "passes on (default) and off "
+                         "(QCPINN_BLOCK_MERGE=0) — the on-chip A/B for "
+                         "docs/design.md §8.2")
     args = ap.parse_args()
     qs = [int(v) for v in args.qubits.split(",")]
     bs = [int(v) for v in args.batch.split(",")]
@@ -77,6 +82,16 @@ def main():
     rows = []
     for n, b in zip(qs, bs):
         rec = measure(n, b)
+        if args.merge_ab:
+            os.environ["QCPINN_BLOCK_MERGE"] = "0"
+            try:
+                unmerged = measure(n, b)
+            finally:
+                del os.environ["QCPINN_BLOCK_MERGE"]
+            rec["unmerged_ms_per_step"] = unmerged["ms_per_step"]
+            rec["unmerged_segment_stats"] = unmerged.get("segment_stats")
+            rec["merge_speedup"] = round(
+                unmerged["ms_per_step"] / rec["ms_per_step"], 3)
         rows.append(rec)
         print(json.dumps(rec))
 
