@@ -155,6 +155,27 @@ def test_precision_knob_env_and_override(monkeypatch):
     )
 
 
+def test_merge_env_knob(monkeypatch):
+    """QCPINN_BLOCK_MERGE=0 restores the unmerged segment chain (the
+    on-chip A/B lever of scripts/mfu_ladder.py --merge-ab); an explicit
+    merge= constructor arg always wins over the env."""
+    circuit = _circ("cross_mesh", n=6)
+    default = BlockFusedCircuit(circuit)
+    monkeypatch.setenv("QCPINN_BLOCK_MERGE", "0")
+    env_off = BlockFusedCircuit(circuit)
+    env_off_but_arg_on = BlockFusedCircuit(circuit, merge=True)
+    monkeypatch.delenv("QCPINN_BLOCK_MERGE")
+    assert len(default.segments) < len(env_off.segments)
+    assert len(env_off_but_arg_on.segments) == len(default.segments)
+    assert len(env_off.segments) == len(
+        BlockFusedCircuit(circuit, merge=False).segments)
+    params = circuit.init_params(jax.random.PRNGKey(0)).reshape(-1)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 6), minval=-1.0, maxval=1.0)
+    np.testing.assert_allclose(
+        default.apply(params, x), env_off.apply(params, x), atol=2e-6
+    )
+
+
 def test_chain_shortening_parity_and_stats():
     """merge=True composes adjacent 'blocks' segments across layer and
     epilogue boundaries by small [K,K] matmuls — values and gradients must
