@@ -199,13 +199,15 @@ def probe_c(steps: int):
     report = {}
     # Probe B showed the stall is variant-specific: CV2 (<x> readout,
     # active_sd 0.1) fits a supervised target after a ~1000-step plateau
-    # while CV1's near-vacuum <n> path stays stuck. The PINN-side probes
-    # therefore focus CV2 at the batch size the breakthrough used (256),
-    # with and without the uncertainty balancer.
+    # while CV1's near-vacuum <n> path stays stuck. The PINN-side probe
+    # therefore asks ONE question — does the full PINN recipe move for
+    # CV2 at the batch size the supervised breakthrough used (256)?
+    # (The uncertainty-balancer lever already has its own A/B,
+    # artifacts/balancer_ab_*.json.) The recorded artifact
+    # (cv_diagnosis_C.json) ran this on the real chip at 500 epochs
+    # (~4.6 s/epoch; the CPU Fock step at B=256 is ~12 s/epoch).
     for tag, kw in {
         "cv2_b256": dict(cv_class=2, lr=5e-3, batch_size=256),
-        "cv2_b256_uncertainty": dict(cv_class=2, lr=5e-3, batch_size=256,
-                                     loss_balancer="uncertainty"),
     }.items():
         cfg = make_cfg("CV", epochs=steps,
                        print_every=max(steps // 10, 1), **kw)
