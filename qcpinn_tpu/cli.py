@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--num-layers", type=int, default=1)
     t.add_argument("--cutoff-dim", type=int, default=6)
     t.add_argument("--cv-class", type=int, default=1, choices=[1, 2, 3])
+    t.add_argument("--cv-readout", default=None, choices=["n", "x"],
+                   help="override the variant's readout operator "
+                        "(default: the reference's — 'x' for class 2, "
+                        "'n' otherwise; the round-5 diagnosis pinned the "
+                        "class-1/3 stall to the <n>-at-vacuum readout)")
     t.add_argument("--hidden-dim", type=int, default=50)
     t.add_argument("--epochs", type=int, default=20000)
     t.add_argument("--batch-size", type=int, default=64)
@@ -228,6 +233,7 @@ def cmd_train(args) -> int:
         encoding=args.encoding,
         cv_class=args.cv_class,
         cutoff_dim=args.cutoff_dim,
+        cv_readout=args.cv_readout,
         epochs=args.epochs,
         batch_size=args.batch_size,
         lr=args.lr,

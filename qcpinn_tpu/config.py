@@ -29,6 +29,10 @@ class QCPINNConfig:
     # CV quantum block
     cv_class: int = 1  # CVNeuralNetwork variant 1 | 2 | 3
     cutoff_dim: int = 6
+    # None = the reference's per-variant readout ('x' for v2, '<n>'
+    # otherwise); 'x'|'n' overrides it (round-5 CV diagnosis: the
+    # ⟨n⟩-at-vacuum readout is the v1/v3 trainability stall)
+    cv_readout: Optional[str] = None
 
     # training
     epochs: int = 20000

@@ -52,14 +52,29 @@ class CVLayer:
         cutoff_dim: int = 6,
         variant: int = 1,
         hbar: float = 2.0,
+        readout: Optional[str] = None,
+        active_sd: Optional[float] = None,
+        passive_sd: Optional[float] = None,
     ):
+        """``readout``/``active_sd``/``passive_sd`` default to the
+        reference's per-variant choices (readout 'n' for v1/v3, 'x' for
+        v2; sd per CVNeuralNetwork{1,2,3}); overrides exist because the
+        round-5 diagnosis localized the v1/v3 stall to the
+        ⟨n⟩-at-vacuum readout geometry (PARITY round-5 CV section) —
+        e.g. variant 3's non-Gaussian gates with the 'x' readout is the
+        natural trainable-CV configuration the reference never ships."""
         if variant not in (1, 2, 3):
             raise ValueError(f"variant must be 1, 2 or 3, got {variant}")
+        if readout not in (None, "n", "x"):
+            raise ValueError(f"readout must be 'n' or 'x', got {readout!r}")
         self.m = num_qumodes
         self.layers = num_layers
         self.d = cutoff_dim
         self.variant = variant
         self.hbar = hbar
+        self.readout = readout or ("x" if variant == 2 else "n")
+        self._active_sd = active_sd
+        self._passive_sd = passive_sd
         # max(1, m-1) rotations + m(m-1) BS params (theta & phi halves)
         self.n_interf = self.m * (self.m - 1) + max(1, self.m - 1)
         self.placements = interferometer_wiring(self.m)
@@ -69,8 +84,12 @@ class CVLayer:
     def init(self, key: jax.Array) -> dict:
         # active_sd / passive_sd per variant (CVNeuralNetwork1.py:24-25,
         # CVNeuralNetwork2.py:18-19, CVNeuralNetwork3.py init)
-        active_sd = 0.1 if self.variant == 2 else 1e-4
-        passive_sd = 2 * jnp.pi if self.variant == 2 else 0.1
+        active_sd = self._active_sd
+        if active_sd is None:
+            active_sd = 0.1 if self.variant == 2 else 1e-4
+        passive_sd = self._passive_sd
+        if passive_sd is None:
+            passive_sd = 2 * jnp.pi if self.variant == 2 else 0.1
         L, m = self.layers, self.m
         ks = jax.random.split(key, 10)
 
@@ -158,7 +177,7 @@ class CVLayer:
             state = fock.apply_1m(state, m, d, w, disp)
         for l in range(self.layers):
             state = self._qnn_layer(state, params, l)
-        if self.variant == 2:
+        if self.readout == "x":
             return fock.quad_x_expvals(state, m, d, self.hbar)
         return fock.number_expvals(state, m, d)
 

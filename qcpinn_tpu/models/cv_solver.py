@@ -23,6 +23,7 @@ class CVSolver:
             num_layers=config.num_quantum_layers,
             cutoff_dim=config.cutoff_dim,
             variant=config.cv_class,
+            readout=getattr(config, "cv_readout", None),
         )
 
     def init(self, key: jax.Array) -> dict:

@@ -133,3 +133,37 @@ def test_cv_solver_training_step(rng):
     assert cfg.effective_grad_clip == 0.1  # CV-specific clip
     params, history = train(model, cfg, terms, diffusion_operator)
     assert np.all(np.isfinite(history))
+
+
+def test_cv_readout_override():
+    """readout= overrides the reference's per-variant readout (round-5 CV
+    diagnosis knob); defaults preserve variant semantics exactly; the sd
+    overrides change only the init scales."""
+    import pytest
+    from qcpinn_tpu.models.cv_layer import CVLayer
+
+    m, d = 2, 4
+    x = jax.random.uniform(jax.random.PRNGKey(5), (3, m), minval=-0.5, maxval=0.5)
+    v3 = CVLayer(m, 1, d, variant=3)
+    v3x = CVLayer(m, 1, d, variant=3, readout="x")
+    assert v3.readout == "n" and v3x.readout == "x"
+    p = v3.init(jax.random.PRNGKey(0))
+    out_n = v3.apply(p, x)
+    out_x = v3x.apply(p, x)  # same params/circuit, different observable
+    assert not np.allclose(out_n, out_x)
+    # explicit default readout is identity with no override
+    np.testing.assert_allclose(
+        CVLayer(m, 1, d, variant=3, readout="n").apply(p, x), out_n)
+    # v2's default is 'x'
+    assert CVLayer(m, 1, d, variant=2).readout == "x"
+    with pytest.raises(ValueError, match="readout"):
+        CVLayer(m, 1, d, variant=1, readout="p")
+    # sd override flows into init scales (bigger active_sd -> bigger params)
+    p_big = CVLayer(m, 1, d, variant=1, active_sd=0.3).init(jax.random.PRNGKey(0))
+    p_ref = CVLayer(m, 1, d, variant=1).init(jax.random.PRNGKey(0))
+    assert float(jnp.abs(p_big["squeezing_r"]).sum()) > float(
+        jnp.abs(p_ref["squeezing_r"]).sum())
+    # config plumbing: CVSolver passes cv_readout through
+    cfg = QCPINNConfig(solver="CV", num_qubits=2, cutoff_dim=4, cv_class=3,
+                       classic_network=(3, 8, 1), cv_readout="x")
+    assert CVSolver(cfg).cv.readout == "x"
