@@ -225,14 +225,49 @@ def probe_c(steps: int):
     return report
 
 
+def probe_d(steps: int):
+    """v3x: variant-3 gates (CubicPhase non-Gaussianity, CrossKerr,
+    learnable encoding scale) + the 'x' readout + v2's active_sd=0.1 —
+    the configuration the probe-C mechanism analysis predicts could break
+    the quasi-affine curvature ceiling of Gaussian CV circuits under PINN
+    training (the reference never ships this combination; the readout
+    knob is the round-5 CVLayer extension)."""
+    from qcpinn_tpu.models.cv_layer import CVLayer
+    from qcpinn_tpu.train import train
+    from qcpinn_tpu.train.loop import diffusion_terms
+
+    samplers = dd.gaussian_pulse_samplers()
+    cfg = make_cfg("CV", epochs=steps, print_every=max(steps // 25, 1),
+                   cv_class=3, lr=5e-3, batch_size=256)
+    model = CVSolver(cfg)
+    model.cv = CVLayer(num_qumodes=model.m,
+                       num_layers=cfg.num_quantum_layers,
+                       cutoff_dim=cfg.cutoff_dim, variant=3, readout="x",
+                       active_sd=0.1)
+    terms = diffusion_terms(samplers, cfg.batch_size, cfg.loss_weights)
+    operator = get_operator("diffusion", "fwd")
+    params, history = train(model, cfg, terms, operator)
+    m = evaluate_relative_l2(model.apply, params, dd.u, num=20)
+    report = {"cv3x_b256": {
+        "steps": steps,
+        "config": "variant 3 gates + readout x + active_sd 0.1, lr 5e-3, B=256",
+        "final_loss": float(history[-1]),
+        "loss_trace": [float(h) for h in history[:: max(steps // 20, 1)]],
+        "rel_l2_u_percent": m["rel_l2_u_percent"],
+    }}
+    print("cv3x_b256", json.dumps(report["cv3x_b256"]))
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--probe", choices=["A", "B", "C"], required=True)
+    ap.add_argument("--probe", choices=["A", "B", "C", "D"], required=True)
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     fn = {"A": probe_a, "B": lambda: probe_b(args.steps),
-          "C": lambda: probe_c(args.steps)}[args.probe]
+          "C": lambda: probe_c(args.steps),
+          "D": lambda: probe_d(args.steps)}[args.probe]
     report = fn()
     out = args.out or f"artifacts/cv_diagnosis_{args.probe}.json"
     with open(out, "w") as f:
