@@ -44,10 +44,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# the image's axon TPU plugin ignores JAX_PLATFORMS from the environment;
-# this is a CPU diagnostic (4 modes / cutoff 6 -> Fock dim 1296) and must
-# not contend with training runs on the single real chip
-jax.config.update("jax_platforms", "cpu")
+# the image's axon TPU plugin ignores JAX_PLATFORMS from the environment, so
+# the platform is pinned here before any jax use. Default is CPU (a diagnostic
+# at 4 modes / cutoff 6 -> Fock dim 1296 must not contend with training runs
+# on the single real chip); `--platform tpu` opts a long PINN probe onto the
+# chip (probe C ran there at ~4.6 s/epoch vs ~12 s/epoch on CPU).
+_platform = "cpu"
+if "--platform" in sys.argv:
+    _platform = sys.argv[sys.argv.index("--platform") + 1]
+if _platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+# else: leave the default resolution, which picks the real chip (exposed as
+# the experimental 'axon' platform — pinning 'tpu' by name fails here)
 
 import jax.numpy as jnp
 import optax
@@ -264,6 +272,8 @@ def main():
     ap.add_argument("--probe", choices=["A", "B", "C", "D"], required=True)
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
+                    help="consumed at import time (see module header)")
     args = ap.parse_args()
     fn = {"A": probe_a, "B": lambda: probe_b(args.steps),
           "C": lambda: probe_c(args.steps),
