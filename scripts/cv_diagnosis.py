@@ -198,8 +198,24 @@ def probe_b(steps: int, lr: float = 5e-3):
     return report
 
 
-def probe_c(steps: int):
-    """Short PINN runs through the real train loop with recipe levers."""
+def probe_c(steps: int, batch: int = 256):
+    """Short PINN runs through the real train loop with recipe levers.
+
+    ``--batch`` exists for the precision A/B (probe E in spirit): run the
+    SAME reduced config once per Fock dtype —
+
+      python scripts/cv_diagnosis.py --probe C --steps 200 --batch 64 \\
+          --out artifacts/cv_diagnosis_E_c64.json
+      JAX_ENABLE_X64=1 QCPINN_FOCK_DTYPE=complex128 \\
+      python scripts/cv_diagnosis.py --probe C --steps 200 --batch 64 \\
+          --out artifacts/cv_diagnosis_E_c128.json
+
+    If the double-precision arm reproduces the complex64 loss trace (stuck
+    at the forcing floor), the ~1e-2 complex64 gradient noise measured by
+    scripts/cv_gradcheck.py is exonerated as a cause of the CV-PINN stall,
+    leaving the curvature-ceiling mechanism as the sole explanation.
+    """
+    from qcpinn_tpu.ops import fock
     from qcpinn_tpu.train import TermSpec, train
     from qcpinn_tpu.train.loop import diffusion_terms
 
@@ -215,7 +231,7 @@ def probe_c(steps: int):
     # (cv_diagnosis_C.json) ran this on the real chip at 500 epochs
     # (~4.6 s/epoch; the CPU Fock step at B=256 is ~12 s/epoch).
     for tag, kw in {
-        "cv2_b256": dict(cv_class=2, lr=5e-3, batch_size=256),
+        f"cv2_b{batch}": dict(cv_class=2, lr=5e-3, batch_size=batch),
     }.items():
         cfg = make_cfg("CV", epochs=steps,
                        print_every=max(steps // 10, 1), **kw)
@@ -225,6 +241,8 @@ def probe_c(steps: int):
         params, history = train(model, cfg, terms, operator)
         m = evaluate_relative_l2(model.apply, params, dd.u, num=20)
         report[tag] = {
+            "fock_dtype": str(jnp.dtype(fock.CDTYPE)),
+            "x64": bool(jax.config.jax_enable_x64),
             "final_loss": float(history[-1]),
             "loss_trace": [float(h) for h in history[:: max(steps // 20, 1)]],
             "rel_l2_u_percent": m["rel_l2_u_percent"],
@@ -274,9 +292,11 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", choices=["cpu", "tpu"], default="cpu",
                     help="consumed at import time (see module header)")
+    ap.add_argument("--batch", type=int, default=256,
+                    help="probe-C batch size (the precision A/B uses 64)")
     args = ap.parse_args()
     fn = {"A": probe_a, "B": lambda: probe_b(args.steps),
-          "C": lambda: probe_c(args.steps),
+          "C": lambda: probe_c(args.steps, args.batch),
           "D": lambda: probe_d(args.steps)}[args.probe]
     report = fn()
     out = args.out or f"artifacts/cv_diagnosis_{args.probe}.json"
